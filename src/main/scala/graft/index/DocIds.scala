@@ -1,0 +1,38 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic docId assignment + docId-range bucketing.
+  *
+  * docId = xxhash64(url, seed 42) — the same hash Spark's `xxhash64`
+  * column function computes, so url→docId needs no lookup table: purge and
+  * reconcile can map keys to docIds on either side of a join without a
+  * shuffle against the docs table. Rank-stability across re-runs is free
+  * (pure function of url); collisions are checked at build time
+  * (SegmentBuilder fails the batch on a docId with >1 distinct url —
+  * at 10^12 docs production would widen to (hash, url) keyed postings).
+  *
+  * bucket = top `bucketBits` bits of the unsigned docId. Within one bucket
+  * all docIds share their high bits, so signed ascending order == unsigned
+  * ascending order and delta-gaps are non-negative. Buckets are the
+  * salted-repartition unit: a stopword's postings split into NUM_BUCKETS
+  * independent block runs processed by separate tasks (skew handling), and
+  * WAND runs doc-at-a-time per bucket.
+  */
+object DocIds {
+  val Seed = 42L
+
+  def docId(url: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(url), StringType, Seed)
+
+  val bucketBits = 5
+  val numBuckets: Int = 1 << bucketBits // 32
+
+  /** Top bits of the unsigned 64-bit docId → [0, numBuckets). */
+  def bucket(docId: Long): Int = (docId >>> (64 - bucketBits)).toInt
+
+  /** Unsigned lower bound of a bucket's docId range (as signed Long). */
+  def bucketBase(bucket: Int): Long = bucket.toLong << (64 - bucketBits)
+}

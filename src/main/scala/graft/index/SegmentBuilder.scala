@@ -1,0 +1,178 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{DocRow, IndexBlock, PageRow, Posting}
+import graft.analysis.Tokenizer
+import graft.extract.HtmlText
+
+/** One analyzed page: doc metadata + its term-frequency map. Staged to
+  * parquet between the analyze and segment stages so a killed job resumes
+  * without re-extracting (reference analog: staged page files decouple
+  * download from processing, lib/sync/downloader.js:406-408).
+  */
+case class AnalyzedPage(
+    docId: Long,
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    lang: String,
+    doclen: Int,
+    tfs: Map[String, Int])
+
+/** Per-partition posting-list construction (SURVEY §7.1 stage ③, north
+  * rule "posting-list construction").
+  *
+  * Plan shape (the one place hash aggregation is wrong — postings must be
+  * docId-ascending per (term,bucket) for delta-gap encoding, SURVEY §2.4 A6):
+  *
+  *   pages --map--> analyzed --flatMap--> postings
+  *     --repartition(term,bucket)--> sortWithinPartitions(term,bucket,docId)
+  *     --mapPartitions--> streaming block encoder (never materializes a
+  *                        whole term's postings: groups stream by key)
+  *
+  * The (term,bucket) shuffle key IS the skew treatment: bucket = docId
+  * range, so a stopword's postings land in numBuckets different reducers.
+  */
+object SegmentBuilder {
+
+  val BlockSize = 128
+
+  /** Extract + tokenize. The engine always indexes text extracted from
+    * `html` — the `text` column is the invariant's ground truth, not an
+    * input (byte-identity asserted in tests and checkable via
+    * [[verifyExtraction]]).
+    */
+  def analyze(pages: Dataset[PageRow]): Dataset[AnalyzedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { p =>
+      val text = HtmlText.extract(p.html)
+      val (tfs, dl) = Tokenizer.termFreqs(text)
+      AnalyzedPage(DocIds.docId(p.url), p.url, p.warc_ts, p.lang, dl, tfs)
+    }
+  }
+
+  /** Count rows violating the byte-identical extraction invariant. */
+  def verifyExtraction(pages: Dataset[PageRow]): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.filter(p => HtmlText.extract(p.html) != p.text).count()
+  }
+
+  def toDocs(analyzed: Dataset[AnalyzedPage], batchId: String): Dataset[DocRow] = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.map(a => DocRow(a.docId, a.url, a.warc_ts, a.lang, a.doclen, batchId))
+  }
+
+  def toPostings(analyzed: Dataset[AnalyzedPage]): Dataset[Posting] = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.flatMap { a =>
+      val b = DocIds.bucket(a.docId)
+      a.tfs.iterator.map { case (t, tf) => Posting(t, b, a.docId, tf, a.doclen) }
+    }
+  }
+
+  /** Fail the batch if two urls hashed to the same docId (xxhash64
+    * collision). Exact distributed check — one extra aggregation over the
+    * analyzed stage's (docId, url) pairs.
+    */
+  def checkCollisions(analyzed: Dataset[AnalyzedPage]): Unit = {
+    val dupes = analyzed.toDF()
+      .groupBy("docId").agg(countDistinct("url").as("u"))
+      .filter(col("u") > 1).limit(1).collect()
+    if (dupes.nonEmpty)
+      throw new IllegalStateException(
+        s"docId collision detected (docId=${dupes(0).getLong(0)}); " +
+          "widen keys to (docId, url) for this corpus")
+  }
+
+  /** Postings → compressed blocks. Shuffles once on (term, bucket), sorts
+    * within partitions, then streams groups through the encoder.
+    */
+  def buildBlocks(postings: Dataset[Posting], batchId: String,
+                  numPartitions: Int = 0): Dataset[IndexBlock] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    postings
+      .repartition(p, $"term", $"bucket")
+      .sortWithinPartitions($"term", $"bucket", $"docId")
+      .mapPartitions(rows => encodePartition(rows, batchId))
+  }
+
+  /** Streaming encoder over a (term,bucket,docId)-sorted partition. Holds
+    * at most BlockSize postings in memory — a skewed group streams through
+    * as a sequence of blocks rather than materializing.
+    */
+  private[index] def encodePartition(rows: Iterator[Posting],
+                                     batchId: String): Iterator[IndexBlock] = {
+    new Iterator[IndexBlock] {
+      private val it = rows.buffered
+      private var curTerm: String = _
+      private var curBucket: Int = _
+      private var blockId: Int = 0
+      private val docIds = new Array[Long](BlockSize)
+      private val tfs = new Array[Int](BlockSize)
+      private val dls = new Array[Int](BlockSize)
+
+      def hasNext: Boolean = it.hasNext
+
+      def next(): IndexBlock = {
+        val head = it.head
+        if (head.term != curTerm || head.bucket != curBucket) {
+          curTerm = head.term; curBucket = head.bucket; blockId = 0
+        }
+        var n = 0
+        var maxTf = 0
+        var minDl = Int.MaxValue
+        var tfSum = 0L
+        while (n < BlockSize && it.hasNext &&
+               it.head.term == curTerm && it.head.bucket == curBucket) {
+          val p = it.next()
+          docIds(n) = p.docId; tfs(n) = p.tf; dls(n) = p.dl
+          if (p.tf > maxTf) maxTf = p.tf
+          if (p.dl < minDl) minDl = p.dl
+          tfSum += p.tf
+          n += 1
+        }
+        val ids = java.util.Arrays.copyOf(docIds, n)
+        val block = IndexBlock(
+          curTerm, curBucket, blockId, ids(0), ids(n - 1), n, maxTf, minDl,
+          tfSum,
+          Codec.encodeDocIds(ids, ids(0)),
+          Codec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
+          Codec.encodeInts(java.util.Arrays.copyOf(dls, n)),
+          batchId)
+        blockId += 1
+        block
+      }
+    }
+  }
+
+  /** Decode a block back to postings (merge + tests). */
+  def decodeBlock(b: IndexBlock): Array[Posting] = {
+    val ids = Codec.decodeDocIds(b.docIdsVB, b.count, b.firstDocId)
+    val tfs = Codec.decodeInts(b.tfsVB, b.count)
+    val dls = Codec.decodeInts(b.dlsVB, b.count)
+    Array.tabulate(b.count)(i => Posting(b.term, b.bucket, ids(i), tfs(i), dls(i)))
+  }
+
+  /** Re-encode one decoded-and-filtered block in place (same (term,bucket),
+    * same blockId) — used by merge's block-level tombstone path, which must
+    * keep sibling blocks' docId ranges disjoint.
+    */
+  def reencodeBlock(template: IndexBlock, ps: Array[Posting]): IndexBlock = {
+    require(ps.nonEmpty)
+    val ids = ps.map(_.docId)
+    IndexBlock(
+      template.term, template.bucket, template.blockId, ids(0), ids.last,
+      ps.length, ps.map(_.tf).max, ps.map(_.dl).min, ps.map(_.tf.toLong).sum,
+      Codec.encodeDocIds(ids, ids(0)),
+      Codec.encodeInts(ps.map(_.tf)),
+      Codec.encodeInts(ps.map(_.dl)),
+      template.batch_id)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CorpusStats, Hit, IndexBlock, ScoredDoc}
+import graft.sources.TableIO
+
+/** Snapshot-isolated reader over one published index version.
+  *
+  * search(q, k) plan (one narrow job per query):
+  *   1. dict probe: `dict.filter(term ∈ q)` — parquet min/max pruned,
+  *      collects ≤ |q| rows (df → idf).
+  *   2. block scan: `index.filter(term ∈ q)` — predicate pushdown prunes
+  *      row groups (the index is written sorted by term); only the query
+  *      terms' blocks are read, never the whole index.
+  *   3. `groupByKey(bucket) → flatMapGroups(Wand.topKInBucket)` — one WAND
+  *      instance per docId bucket; a skewed term's buckets run in parallel
+  *      (this shuffle moves only the query terms' compressed blocks).
+  *   4. global merge: `sort(score desc, docId asc).limit(k)` over ≤
+  *      numBuckets·k candidates, then a broadcast join back to docs for
+  *      the url (reference surface analog: Solr q/fl/sort/rows,
+  *      lib/sync/dataAdapters/solr/solr.js:117-122).
+  */
+class IndexReader(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  private val io = new TableIO(spark, root)
+  val version: String = io.currentVersion().getOrElse(
+    throw new IllegalStateException(s"no published index at $root"))
+
+  val docs: DataFrame = io.readParquet(s"${io.versionDir(version)}/docs")
+  val index: Dataset[IndexBlock] =
+    io.readParquet(s"${io.versionDir(version)}/index").as[IndexBlock]
+  val dict: DataFrame = io.readParquet(s"${io.versionDir(version)}/dict")
+  val stats: CorpusStats = {
+    val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
+    CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"))
+  }
+
+  /** Exact BM25 top-k hits, rank-deterministic (score desc, docId asc). */
+  def topK(q: String, k: Int, useWand: Boolean = true): Array[Hit] = {
+    val terms = Bm25.queryTerms(q)
+    if (terms.isEmpty || k <= 0) return Array.empty
+    val dfMap = dict
+      .filter($"term".isin(terms.toSeq: _*))
+      .select($"term", $"df")
+      .as[(String, Long)].collect().toMap
+    if (dfMap.isEmpty) return Array.empty
+    val n = stats.n
+    val avgdl = stats.avgdl
+    val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val bIdf = spark.sparkContext.broadcast(idf)
+
+    val candidates: Dataset[Hit] = index
+      .filter($"term".isin(terms.toSeq: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, blocks) =>
+        val byTerm = blocks.toArray.groupBy(_.term).toSeq
+        val hits =
+          if (useWand) Wand.topKInBucket(byTerm, bIdf.value, avgdl, k)
+          else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k)
+        hits.iterator
+      }
+    candidates
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+      .collect()
+  }
+
+  /** Top-k joined back to document metadata, with ranks. */
+  def search(q: String, k: Int): Array[ScoredDoc] = {
+    val hits = topK(q, k)
+    if (hits.isEmpty) return Array.empty
+    val hitDf = hits.toSeq.toDF()
+    val joined = docs
+      .join(broadcast(hitDf), Seq("docId"))
+      .select($"docId", $"url", $"score")
+      .as[(Long, String, Double)].collect()
+    val byId = joined.map(t => t._1 -> t).toMap
+    hits.zipWithIndex.map { case (h, i) =>
+      val (_, url, _) = byId(h.docId)
+      ScoredDoc(i + 1, h.docId, url, h.score)
+    }
+  }
+}

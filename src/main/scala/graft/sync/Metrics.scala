@@ -1,0 +1,60 @@
+package graft.sync
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{IndexBlock, MetricsRow}
+import graft.sources.TableIO
+
+/** Lineage + metrics ledger — the ors_* stats-table analog (reference:
+  * lib/stats/setUp.js:7-142 creates ors_{sync,purge,reconcile}_*;
+  * cumulative per-page counters lib/stats/sync.js:46-60; purge rows keep a
+  * sample of purged ids, lib/stats/purge.js:46-57).
+  *
+  * Per-partition rows/bytes/terms/postings are derived from the segment's
+  * block metadata grouped by the shuffle partition the (term,bucket) key
+  * hashes to — an honest picture of how the build's shuffle distributed
+  * (skew shows up directly as a fat partition row).
+  */
+object Metrics {
+
+  /** Per-shuffle-partition lineage of a built segment. */
+  def segmentMetrics(spark: SparkSession, blocks: Dataset[IndexBlock],
+                     batchId: String, process: String,
+                     numPartitions: Int, millis: Long): DataFrame = {
+    import spark.implicits._
+    blocks
+      .withColumn("partitionId",
+        pmod(hash($"term", $"bucket"), lit(numPartitions)).cast("int"))
+      .groupBy($"partitionId")
+      .agg(
+        sum($"count").cast("long").as("postings"),
+        count(lit(1)).cast("long").as("blocks"),
+        approx_count_distinct($"term").as("terms"),
+        (sum(length($"docIdsVB")) + sum(length($"tfsVB")) +
+          sum(length($"dlsVB"))).cast("long").as("bytes"))
+      .select(
+        lit(batchId).as("batch_id"),
+        lit(process).as("process"),
+        $"partitionId",
+        $"blocks".as("rows"),
+        $"bytes",
+        $"terms".cast("long").as("terms"),
+        $"postings",
+        lit(millis).as("millis"),
+        lit("success").as("result"),
+        lit(null).cast("string").as("error"))
+  }
+
+  /** One driver-level row (stage timing, purge counts, errors…). */
+  def driverRow(spark: SparkSession, batchId: String, process: String,
+                rows: Long, millis: Long, result: String,
+                error: String = null): DataFrame = {
+    import spark.implicits._
+    Seq(MetricsRow(batchId, process, -1, rows, 0L, 0L, 0L, millis, result,
+      Option(error).getOrElse(""))).toDF()
+  }
+
+  def append(io: TableIO, df: DataFrame): Unit =
+    io.appendParquet(df, io.metricsDir)
+}

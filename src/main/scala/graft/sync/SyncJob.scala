@@ -1,0 +1,120 @@
+package graft.sync
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{DocRow, PageRow, Posting}
+import graft.index.{Merge, SegmentBuilder}
+import graft.sources.TableIO
+
+/** Incremental index sync — the doSync path re-expressed as one Spark DAG
+  * (reference lifecycle: download watermark-bounded pages → staged batch
+  * files → per-destination upserts; lib/sync/downloader.js:339-427 +
+  * destinationManager.js:48-165).
+  *
+  * Stages, each checkpointed and staged so a killed run resumes without
+  * recomputation (the done-flag discipline of downloader.js:345-425):
+  *
+  *   analyze  — watermark filter (P3 semantics: ts in (lastMax, batchTs],
+  *              `>=` when the watermark is epoch-0, downloader.js:185-192
+  *              getOp) → extract+tokenize → staged analyzed parquet
+  *   segment  — docId collision check → delta docs + posting blocks staged
+  *   merge    — Merge.merge into v=<batchId> tables
+  *   publish  — atomic `current` flip + metrics append + staging cleanup
+  *              (the reference deletes processed batch files,
+  *              destinationManager.js:228-229)
+  */
+object SyncJob {
+
+  case class Result(batchId: String, deltaRows: Long, millis: Long)
+
+  val Process = "sync"
+  val Epoch0 = new Timestamp(0L)
+
+  def run(spark: SparkSession, io: TableIO, pages: Dataset[PageRow],
+          batchTs: Timestamp, resource: String = "pages"): Result = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val batchId = Checkpoint.toBatchId(batchTs)
+    val cp = new Checkpoint(spark, io)
+
+    if (cp.isDone(batchId, Process, resource, "publish"))
+      return Result(batchId, 0L, 0L)
+
+    // ---- analyze ----------------------------------------------------
+    val analyzedDir = io.stagingDir(batchId, "analyzed")
+    if (!cp.isDone(batchId, Process, resource, "analyze")) {
+      val lo = Tables.loadCurrent(spark, io)
+        .map(t => t.docs.agg(max($"warc_ts")).head())
+        .flatMap(r => Option(r.getTimestamp(0)))
+        .getOrElse(Epoch0)
+      // closed interval (lo, batchTs]; `>=` when starting from epoch-0
+      val loPred =
+        if (lo.getTime == 0L) $"warc_ts" >= lit(lo) else $"warc_ts" > lit(lo)
+      val delta = pages.filter(loPred && $"warc_ts" <= lit(batchTs))
+      io.writeParquet(SegmentBuilder.analyze(delta).toDF(), analyzedDir)
+      cp.markDone(batchId, Process, resource, "analyze")
+    }
+
+    runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
+  }
+
+  /** Shared tail (segment → merge → publish) — reconcile's "missing"
+    * processing reuses it verbatim, like the reference routes missing
+    * records through the same resumeSync processor
+    * (destinationManager.js:49-54, batchType 'missing').
+    */
+  private[sync] def runFromAnalyzed(
+      spark: SparkSession, io: TableIO, cp: Checkpoint, batchId: String,
+      process: String, resource: String, t0: Long,
+      purged: Option[Dataset[Long]] = None): Result = {
+    import spark.implicits._
+    val analyzedDir = io.stagingDir(batchId, "analyzed")
+    val docsDir = io.stagingDir(batchId, "docs")
+    val blocksDir = io.stagingDir(batchId, "blocks")
+
+    // ---- segment -----------------------------------------------------
+    if (!cp.isDone(batchId, process, resource, "segment")) {
+      val analyzed = io.readParquet(analyzedDir)
+        .as[graft.index.AnalyzedPage]
+      SegmentBuilder.checkCollisions(analyzed)
+      io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
+      val blocks = SegmentBuilder.buildBlocks(
+        SegmentBuilder.toPostings(analyzed), batchId)
+      io.writeParquet(blocks.toDF(), blocksDir)
+      cp.markDone(batchId, process, resource, "segment")
+    }
+
+    // ---- merge -------------------------------------------------------
+    if (!cp.isDone(batchId, process, resource, "merge")) {
+      val deltaDocs = io.readParquet(docsDir).as[DocRow]
+      val deltaPostings = io.readParquet(blocksDir).as[graft.IndexBlock]
+        .flatMap(SegmentBuilder.decodeBlock _)
+      val old = Tables.loadCurrent(spark, io)
+      val purgedDs = purged.getOrElse(spark.emptyDataset[Long])
+      val merged = Merge.merge(spark, old, deltaDocs, deltaPostings,
+        purgedDs, batchId)
+      Tables.write(spark, io, merged, batchId)
+      cp.markDone(batchId, process, resource, "merge")
+    }
+
+    // ---- publish -----------------------------------------------------
+    if (cp.isDone(batchId, process, resource, "publish"))
+      return Result(batchId, 0L, System.currentTimeMillis() - t0)
+    val deltaRows = io.readParquet(docsDir).count()
+    locally {
+      io.publish(batchId)
+      val millis = System.currentTimeMillis() - t0
+      val blocks = io.readParquet(s"${io.versionDir(batchId)}/index")
+        .as[graft.IndexBlock]
+      val p = spark.sessionState.conf.numShufflePartitions
+      Metrics.append(io,
+        Metrics.segmentMetrics(spark, blocks, batchId, process, p, millis))
+      Metrics.append(io,
+        Metrics.driverRow(spark, batchId, process, deltaRows, millis, "success"))
+      cp.markDone(batchId, process, resource, "publish")
+      io.deleteDir(s"${io.root}/staging/$batchId")
+    }
+    Result(batchId, deltaRows, System.currentTimeMillis() - t0)
+  }
+}
