@@ -12,7 +12,7 @@ package graft.index
   * docIds), so consecutive signed docIds share their high bits and gaps are
   * non-negative and small.
   */
-object Codec {
+object Codec extends Serializable {
 
   /** VByte-encode one non-negative Long into the buffer. */
   @inline private def put(b: java.io.ByteArrayOutputStream, v0: Long): Unit = {

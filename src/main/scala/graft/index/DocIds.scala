@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * independent block runs processed by separate tasks (skew handling), and
   * WAND runs doc-at-a-time per bucket.
   */
-object DocIds {
+object DocIds extends Serializable {
   val Seed = 42L
 
   def docId(url: String): Long =

@@ -42,7 +42,7 @@ case class IndexTables(
   * deletes are `deleteByQuery` by id (solr.js:169-185) — here tombstoned
   * docIds drop out of postings during the merge.
   */
-object Merge {
+object Merge extends Serializable {
 
   /** Max (affected docIds + delta groups) we broadcast before falling back
     * to a full join-based rebuild.

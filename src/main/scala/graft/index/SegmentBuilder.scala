@@ -33,7 +33,7 @@ case class AnalyzedPage(
   * The (term,bucket) shuffle key IS the skew treatment: bucket = docId
   * range, so a stopword's postings land in numBuckets different reducers.
   */
-object SegmentBuilder {
+object SegmentBuilder extends Serializable {
 
   val BlockSize = 128
 

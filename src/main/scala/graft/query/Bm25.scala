@@ -12,7 +12,7 @@ package graft.query
   * in Double — float addition order never depends on parallelism, so
   * scores are identical at any partition count.
   */
-object Bm25 {
+object Bm25 extends Serializable {
   val K1 = 1.2
   val B = 0.75
 

@@ -21,7 +21,7 @@ import graft.index.Codec
   * lexicographic term order (cursors are created from a sorted term list
   * and scoring walks that fixed array), bit-identical to the naive oracle.
   */
-object Wand {
+object Wand extends Serializable {
 
   /** A cursor over one term's posting blocks within a bucket. Blocks are
     * sorted by firstDocId (disjoint ranges) and decoded lazily on entry.
