@@ -1,13 +1,652 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator family from
+  * SURVEY.md §2 (phrased over the driver's TPC-H-ish testdata so DuckDB
+  * can oracle-check them), plus the large-scale training-data ops
+  * (dedup / similarity / text analysis) over `documents`/`embeddings`.
+  *
+  * Index/codec/WAND internals that SQL can't express are gated by
+  * `sbt -batch test` against the naive oracle (see QuerySpec), and
+  * `q_engine_bm25` below closes the loop by checking the real engine's
+  * BM25 top-k against a pure-SQL BM25 oracle in DuckDB.
+  *
+  * Conventions for oracle parity:
+  *  - every float column is `round(x, 4)` on both sides, and float
+  *    orderings sort by the rounded value with a unique integer tie-break;
+  *  - every query has a deterministic total ORDER BY on both sides;
+  *  - aggregate/computed columns carry identical aliases on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship on sf0.001 — the SyncJob plan shape (watermark filter →
+    * key join → rollup); driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.filter(col("l_shipdate") > lit("1996-01-01") &&
+        col("l_shipdate") <= lit("1999-01-01"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ------------------------------------------------------------------
+  // §2.1/§2.2 scans + predicates
+  // ------------------------------------------------------------------
+
+  /** S1/P3: watermark-bounded incremental scan (closed interval). */
+  private def qIncrementalScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") > lit("2024-01-10 00:00:00") &&
+        col("ts") <= lit("2024-01-20 00:00:00"))
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** S2: key-only purge scan (column pruning). */
+  private def qKeyOnlyScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey")).distinct()
+      .orderBy(col("o_orderkey"))
+
+  /** S3: key+timestamp reconcile scan. */
+  private def qKeyTsScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max(col("ts")).as("max_ts"))
+      .orderBy(col("user_id"))
+
+  /** S4/J4: point-lookup batch fetch = semi join by explicit id list. */
+  private def qSemiJoinMissing(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"))
+    t(s, dir, "lineitem")
+      .join(broadcast(ids), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** S6/A2/A3: count + most-recent probe. */
+  private def qCountMostRecent(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(count(lit(1)).as("cnt"), max(col("o_orderdate")).as("most_recent"))
+
+  // ------------------------------------------------------------------
+  // §2.3 joins
+  // ------------------------------------------------------------------
+
+  /** J1: purge anti-join (destination ids − source ids): customers with
+    * no order in the recent source window are purge candidates.
+    */
+  private def qPurgeAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") > lit("1997-06-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+
+  /** J2: reconcile diff — missing OR timestamp drifted (null-safe). */
+  private def qReconcileDiff(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val dest = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0,
+          col("o_orderdate") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("o_orderdate")).as("d_ts"))
+    src.join(dest, Seq("o_orderkey"), "left_outer")
+      .where(col("d_ts").isNull || !(col("o_orderdate") <=> col("d_ts")))
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J3: missing-id union across destinations, distinct. */
+  private def qMissingUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"))
+      .unionByName(t(s, dir, "lineitem").filter(col("l_partkey") % 17 === 0)
+        .select(col("l_orderkey").as("k")))
+      .distinct()
+      .orderBy(col("k"))
+
+  /** J5: parent↔child expand = explode with parent columns carried. */
+  private def qExpandExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_type"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  // ------------------------------------------------------------------
+  // §2.4 aggregations, §2.6 sorts/limits
+  // ------------------------------------------------------------------
+
+  /** A4: stats-ledger rollup (cumulative counters per group). */
+  private def qStatsRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .orderBy(col("event_type"))
+
+  /** A5: page math — expectedTotalPages = ceil(count / top). */
+  private def qPageMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg(ceil(count(lit(1)) / 200.0).cast("bigint").as("pages"))
+      .orderBy(col("o_orderpriority"))
+
+  /** P3 variant: windowed counts per type. */
+  private def qWatermarkWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") > lit("2024-01-05 00:00:00") &&
+        col("ts") <= lit("2024-01-15 00:00:00"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** O4: top-1 by timestamp (deterministic tie-break). */
+  private def qTop1Latest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"), col("ts"))
+      .orderBy(col("ts").desc, col("event_id").asc).limit(1)
+
+  /** O6: deterministic top-k (score desc, key asc) — the BM25 rank rule. */
+  private def qTopkDeterministic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** O7: keyset-pagination resume (filter key > last, ordered, page). */
+  private def qKeysetResume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") > 1000)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  // ------------------------------------------------------------------
+  // A6 index-build aggregations over `documents` (SQL-expressible layer)
+  // ------------------------------------------------------------------
+
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  /** tf per (doc, term) — the posting-construction aggregate. */
+  private def qTf(s: SparkSession, dir: String): DataFrame =
+    tok(s, dir).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("term"))
+
+  /** df/cf per term — the dictionary aggregate. */
+  private def qDfDict(s: SparkSession, dir: String): DataFrame =
+    tok(s, dir).groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("term"))
+
+  /** doclen per doc. */
+  private def qDoclen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("doclen"))
+      .orderBy(col("doc_id"))
+
+  /** N + avgdl — the corpus stats aggregate. */
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n"), round(avg(col("dl")), 4).as("avgdl"))
+
+  /** Full BM25 top-10 in one declarative plan (k1=1.2, b=0.75, Lucene idf),
+    * query = {spark, stream, vector}.
+    */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "stream", "vector")
+    val tk = tok(s, dir)
+    val tf = tk.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(terms: _*))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") / (col("tf") +
+            lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+        .as("raw"))
+      .select(col("doc_id"), round(col("raw"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** The real engine end-to-end vs the SQL BM25 oracle: documents →
+    * PageRow corpus → SyncJob (segment build + merge + publish) →
+    * block-max WAND top-10 — must equal DuckDB's from-first-principles
+    * BM25 (same query terms as q_bm25_topk).
+    */
+  private def qEngineBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-entry-index").toString
+    // documents.text is verified [a-z0-9 ]-only, so a single <p> wrapper
+    // satisfies the extractor's byte-identical roundtrip with no escaping
+    val pages = t(s, dir, "documents").select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      expr("timestamp_seconds(doc_id)").as("warc_ts"),
+      encode(concat(lit("<html><head></head><body><p>"), col("text"),
+        lit("</p></body></html>")), "utf-8").as("html"),
+      col("text"),
+      col("lang")).as[PageRow]
+    val io = new graft.sources.TableIO(s, root)
+    graft.sync.SyncJob.run(s, io, pages,
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val reader = new graft.query.IndexReader(s, root)
+    // fetch deep (k=200) so the round-to-4-decimals re-rank below can
+    // re-break ties the same way the SQL oracle does before the limit
+    val hits = reader.search("spark stream vector", 200)
+    hits.map(h => (h.url.stripPrefix("doc://").toLong,
+        BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toSeq.toDF("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------------
+  // Training-pipeline ops: dedup / similarity / text analysis
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy, keep min doc_id per content hash. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
+      .orderBy(col("h"))
+
+  /** MinHash+LSH near-dup candidates: char-5-gram shingles (stride 4),
+    * 4 hash permutations (md5-salted min), band join on equal signature
+    * rows → candidate pairs.
+    */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text)-4, 1), 4)")).as("p"))
+      .select(col("doc_id"),
+        expr("substring(text, p, 5)").as("g"))
+    val mh = sh
+      .crossJoin(s.range(0, 4).select(col("id").as("j")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), col("g")))).as("h"))
+    val a = mh.select(col("doc_id").as("d1"), col("j"), col("h"))
+    val b = mh.select(col("doc_id").as("d2"), col("j"), col("h"))
+    a.join(b, Seq("j", "h")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash (16-bit, md5-nibble hyperplanes) per document. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val th = tok(s, dir).select(col("doc_id"), md5(col("term")).as("h"))
+    th.crossJoin(s.range(1, 17).select(col("id").cast("int").as("b")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("substring(h, b, 1)") >= "8", 1).otherwise(-1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2), col("b") - 1).cast("bigint")).otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-set Jaccard near-dup over a bounded candidate window. */
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val tk = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term")).distinct()
+    val sizes = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = tk.select(col("doc_id").as("d1"), col("term"))
+      .join(tk.select(col("doc_id").as("d2"), col("term")), "term")
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("i") * 1.0 / (col("s1") + col("s2") - col("i")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Brute-force cosine top-k ANN baseline vs query vector vec_id=0
+    * (double-widened element math so engines agree bitwise).
+    */
+  private def qEmbedCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val dot = "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)"
+    val na = "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"
+    val nb = "sqrt(aggregate(qv, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr(s"$dot / ($na * $nb)"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** LSH-bucketed ANN scale path: 8 deterministic integer hyperplanes →
+    * sign bits → bucket id (co-bucketed vectors = candidate set).
+    */
+  private def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dots = e
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 7)")).as("j"))
+      .select(col("vec_id"), col("j"),
+        expr("aggregate(zip_with(embedding, sequence(0, size(embedding)-1), " +
+          "(x, i) -> cast(x as double) * (((i*31 + j*17) % 7) - 3)), " +
+          "0D, (a, x) -> a + x)").as("dot"))
+    dots.groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0,
+        pow(lit(2), col("j")).cast("bigint")).otherwise(0L)).as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Language-ID by stopword-list voting (n-gram-free heuristic). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "of", "and", "to", "in", "is", "a")
+    val de = Seq("der", "die", "das", "und", "ist", "ein")
+    val es = Seq("el", "la", "los", "de", "y", "es", "un")
+    tok(s, dir).groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("term").isin(en: _*), 1).otherwise(0)).as("s_en"),
+        sum(when(col("term").isin(de: _*), 1).otherwise(0)).as("s_de"),
+        sum(when(col("term").isin(es: _*), 1).otherwise(0)).as("s_es"))
+      .select(col("doc_id"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token count, non-space ratio, stopword ratio. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val d = t(s, dir, "documents")
+    val tk = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val ratios = tk.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("tokens"),
+      round(sum(when(col("term").isin(stop: _*), 1).otherwise(0)) * 1.0 /
+        count(lit(1)), 4).as("stopword_ratio"))
+    d.select(col("doc_id"), col("n_chars"),
+      round(length(regexp_replace(col("text"), " ", "")) * 1.0 /
+        greatest(length(col("text")), lit(1)), 4).as("nonspace_ratio"))
+      .join(ratios, "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("tokens"),
+        col("nonspace_ratio"), col("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + alnum-run tokens + UTF-8 bytes. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      length(col("text")).as("chars"),
+      octet_length(col("text")).as("media_bytes"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: position-weighted rolling hash of the first
+    * 128 chars (pure integer math — cross-engine exact).
+    */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, least(length(text), 128))")).as("p"))
+      .select(col("doc_id"),
+        (ascii(expr("substring(text, p, 1)")) * ((col("p") * 31) % 97))
+          .as("term_w"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term_w")) % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_scan" -> (qIncrementalScan _),
+    "q_key_only_scan" -> (qKeyOnlyScan _),
+    "q_key_ts_scan" -> (qKeyTsScan _),
+    "q_semi_join_missing" -> (qSemiJoinMissing _),
+    "q_count_most_recent" -> (qCountMostRecent _),
+    "q_purge_anti_join" -> (qPurgeAntiJoin _),
+    "q_reconcile_diff" -> (qReconcileDiff _),
+    "q_missing_union" -> (qMissingUnion _),
+    "q_expand_explode" -> (qExpandExplode _),
+    "q_stats_rollup" -> (qStatsRollup _),
+    "q_page_math" -> (qPageMath _),
+    "q_watermark_window" -> (qWatermarkWindow _),
+    "q_top1_latest" -> (qTop1Latest _),
+    "q_topk_deterministic" -> (qTopkDeterministic _),
+    "q_keyset_resume" -> (qKeysetResume _),
+    "q_tf" -> (qTf _),
+    "q_df_dict" -> (qDfDict _),
+    "q_doclen" -> (qDoclen _),
+    "q_corpus_stats" -> (qCorpusStats _),
+    "q_bm25_topk" -> (qBm25TopK _),
+    "q_engine_bm25" -> (qEngineBm25 _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_embed_cosine_topk" -> (qEmbedCosineTopK _),
+    "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_incremental_scan" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q_key_only_scan" ->
+      "SELECT DISTINCT o_orderkey FROM orders ORDER BY o_orderkey",
+    "q_key_ts_scan" ->
+      """SELECT user_id, max(ts) AS max_ts FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_semi_join_missing" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_count_most_recent" ->
+      "SELECT count(*) AS cnt, max(o_orderdate) AS most_recent FROM orders",
+    "q_purge_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate > TIMESTAMP '1997-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_reconcile_diff" ->
+      """WITH dest AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN o_orderdate + INTERVAL 1 DAY
+        |              ELSE o_orderdate END AS d_ts
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT s.o_orderkey FROM orders s LEFT JOIN dest d USING (o_orderkey)
+        |WHERE d.d_ts IS NULL OR s.o_orderdate <> d.d_ts
+        |ORDER BY s.o_orderkey""".stripMargin,
+    "q_missing_union" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_partkey % 17 = 0)
+        |ORDER BY k""".stripMargin,
+    "q_expand_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q_stats_rollup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_page_math" ->
+      """SELECT o_orderpriority, cast(ceil(count(*) / 200.0) AS bigint) AS pages
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_watermark_window" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_top1_latest" ->
+      "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id ASC LIMIT 1",
+    "q_topk_deterministic" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_keyset_resume" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey > 1000
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_tf" ->
+      """SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    "q_df_dict" ->
+      """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY term""".stripMargin,
+    "q_doclen" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS doclen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT count(*) AS n, round(avg(cast(len(string_split(text, ' ')) AS double)), 4) AS avgdl
+        |FROM documents""".stripMargin,
+    "q_bm25_topk" -> bm25Sql,
+    "q_engine_bm25" -> bm25Sql,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dupes
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, p, 5) AS g FROM (
+        |    SELECT doc_id, text,
+        |           unnest(generate_series(1, greatest(length(text)-4, 1), 4)) AS p
+        |    FROM documents)),
+        |mh AS (
+        |  SELECT doc_id, j, min(md5(cast(j AS varchar) || g)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+        |  GROUP BY doc_id, j)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id, md5(t) AS h FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |bitsum AS (
+        |  SELECT doc_id, b, sum(CASE WHEN substr(h, b, 1) >= '8' THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       sum(CASE WHEN s > 0 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS simhash
+        |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM tk a JOIN tk b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+    "q_embed_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |         round(list_dot_product(list_transform(embedding, x -> cast(x AS double)),
+        |                                list_transform(qv, x -> cast(x AS double)))
+        |           / (sqrt(list_dot_product(list_transform(embedding, x -> cast(x AS double)),
+        |                                    list_transform(embedding, x -> cast(x AS double))))
+        |            * sqrt(list_dot_product(list_transform(qv, x -> cast(x AS double)),
+        |                                    list_transform(qv, x -> cast(x AS double))))), 4) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_lsh_buckets" ->
+      """WITH dots AS (
+        |  SELECT vec_id, j,
+        |         sum(cast(embedding[i+1] AS double) * (((i*31 + j*17) % 7) - 3)) AS dot
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+        |  GROUP BY vec_id, j)
+        |SELECT vec_id,
+        |       sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bucket
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN t IN ('the','of','and','to','in','is','a') THEN 1 ELSE 0 END) AS s_en,
+        |    sum(CASE WHEN t IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS s_de,
+        |    sum(CASE WHEN t IN ('el','la','los','de','y','es','un') THEN 1 ELSE 0 END) AS s_es
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |            WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |r AS (
+        |  SELECT doc_id, count(*) AS tokens,
+        |         round(sum(CASE WHEN term IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) * 1.0
+        |               / count(*), 4) AS stopword_ratio
+        |  FROM tk GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_chars, r.tokens,
+        |       round(length(replace(d.text, ' ', '')) * 1.0 / greatest(length(d.text), 1), 4) AS nonspace_ratio,
+        |       r.stopword_ratio
+        |FROM documents d JOIN r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |       length(text) AS chars, octet_length(encode(text)) AS media_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, least(length(text), 128))) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |       sum(ascii(substr(text, p, 1)) * ((p*31) % 97)) % 1000000007 AS fingerprint
+        |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  private val bm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |scores AS (
+      |  SELECT tf.doc_id,
+      |         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+      |             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+      |  FROM tf
+      |  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      |  WHERE tf.term IN ('spark', 'stream', 'vector')
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, round(raw, 4) AS score FROM scores
+      |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 }
