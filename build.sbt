@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// extra JVM opts for forked run/test JVMs (bench/GC experiments)
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

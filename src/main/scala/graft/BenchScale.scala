@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Corpus
+import graft.sources.TableIO
+import graft.sync.SyncJob
+
+/** Scaling-measurement worker: one fresh JVM per parallelism level so JIT
+  * state, heap history, and session leftovers can't bias the comparison.
+  * Warms the full sync path on a small corpus first, then reports the min
+  * of two timed builds. Invoked by Bench via ProcessBuilder; also usable
+  * standalone: `runMain graft.BenchScale <cpus> <docs> <parts>`.
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val Array(cpus, docs, parts) = args.map(_.toLong)
+    // On a real cluster, disk bandwidth scales with executor count; on one
+    // box it does not — measuring on tmpfs keeps the comparison about
+    // compute+shuffle scaling rather than a single shared disk.
+    val tmpBase = sys.env.getOrElse("GRAFT_SCALE_TMP",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+        System.getProperty("java.io.tmpdir"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scale-$cpus")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"$tmpBase/graft-scale-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def build(n: Long): Double = {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(tmpBase), "graft-scale").toString
+      val io = new TableIO(spark, root)
+      val t0 = System.nanoTime()
+      SyncJob.run(spark, io, Corpus.pages(spark, n, parts.toInt),
+        new Timestamp(Corpus.warcTsMillis(n)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      io.deleteDir(root)
+      sec
+    }
+
+    build(docs / 16 max 2000) // JIT warmup through the full path
+    val sec = math.min(build(docs), build(docs))
+    println(f"GRAFT_SCALE cpus=$cpus sec=$sec%.3f")
+    spark.stop()
+  }
+}

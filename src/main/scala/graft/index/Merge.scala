@@ -11,6 +11,12 @@ case class IndexTables(
     dict: Dataset[DictRow],
     stats: CorpusStats)
 
+/** docs + index plans of a merge, before dict/stats derivation (those are
+  * computed from the *written* parquet so the encode shuffle never runs
+  * twice — see Tables.writeVersion).
+  */
+case class MergedData(docs: Dataset[DocRow], index: Dataset[IndexBlock])
+
 /** Distributed merge of a delta segment into the global term-partitioned
   * index (SURVEY §7.1 stage ④; north rule "distributed merge of
   * partition-local segments into a term-partitioned global index").
@@ -50,10 +56,8 @@ object Merge extends Serializable {
   val MaxBroadcast = 5000000L
 
   def fullBuild(spark: SparkSession, deltaDocs: Dataset[DocRow],
-                deltaPostings: Dataset[Posting], batchId: String): IndexTables = {
-    val index = SegmentBuilder.buildBlocks(deltaPostings, batchId)
-    finish(spark, deltaDocs, index)
-  }
+                deltaPostings: Dataset[Posting], batchId: String): MergedData =
+    MergedData(deltaDocs, SegmentBuilder.buildBlocks(deltaPostings, batchId))
 
   def merge(
       spark: SparkSession,
@@ -61,7 +65,7 @@ object Merge extends Serializable {
       deltaDocs: Dataset[DocRow],
       deltaPostings: Dataset[Posting],
       purgedDocIds: Dataset[Long],
-      batchId: String): IndexTables = {
+      batchId: String): MergedData = {
     import spark.implicits._
 
     old match {
@@ -85,7 +89,7 @@ object Merge extends Serializable {
           val docs = o.docs
             .join(affectedDs.toDF("docId"), Seq("docId"), "left_anti")
             .as[DocRow].unionByName(deltaDocs)
-          finish(spark, docs, index)
+          MergedData(docs, index)
         } else {
           val affected: Array[Long] = affectedDs.collect().sorted
           val groups: Set[(String, Int)] =
@@ -120,7 +124,7 @@ object Merge extends Serializable {
           val docs = o.docs
             .filter(d => java.util.Arrays.binarySearch(bAffected.value, d.docId) < 0)
             .unionByName(deltaDocs)
-          finish(spark, docs, index)
+          MergedData(docs, index)
         }
     }
   }
@@ -135,12 +139,15 @@ object Merge extends Serializable {
     i < a.length && a(i) <= hi
   }
 
-  /** Derive dict + corpus stats. dict needs only block metadata columns
-    * (count, tfSum) — a cheap columnar scan; docs stats scan one int
-    * column. In production both are maintained incrementally in Iceberg.
+  /** Derive dict + corpus stats from docs/index plans. dict needs only
+    * block metadata columns (count, tfSum); docs stats scan one int
+    * column. Production path derives these from the written parquet
+    * (Tables.writeVersion) so the encode shuffle never re-runs; this
+    * in-plan variant serves tests. In production Iceberg both are
+    * maintained incrementally.
     */
-  private def finish(spark: SparkSession, docs: Dataset[DocRow],
-                     index: Dataset[IndexBlock]): IndexTables = {
+  def derive(spark: SparkSession, docs: Dataset[DocRow],
+             index: Dataset[IndexBlock]): IndexTables = {
     import spark.implicits._
     val dict = index.groupBy($"term")
       .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))

@@ -59,33 +59,49 @@ object SegmentBuilder extends Serializable {
     pages.filter(p => HtmlText.extract(p.html) != p.text).count()
   }
 
-  def toDocs(analyzed: Dataset[AnalyzedPage], batchId: String): Dataset[DocRow] = {
+  /** docs projection — pure column ops so the parquet read prunes the
+    * (large) tfs map column entirely.
+    */
+  def toDocs(analyzed: org.apache.spark.sql.DataFrame,
+             batchId: String): Dataset[DocRow] = {
     val spark = analyzed.sparkSession
     import spark.implicits._
-    analyzed.map(a => DocRow(a.docId, a.url, a.warc_ts, a.lang, a.doclen, batchId))
+    analyzed.select(col("docId"), col("url"), col("warc_ts"), col("lang"),
+      col("doclen"), lit(batchId).as("batch_id")).as[DocRow]
   }
 
-  def toPostings(analyzed: Dataset[AnalyzedPage]): Dataset[Posting] = {
+  /** Posting construction as a columnar explode (whole-stage codegen;
+    * no Scala-side Map deserialization in the hot path). bucket = top
+    * hash bits via shiftrightunsigned — same function as DocIds.bucket.
+    */
+  def toPostings(analyzed: org.apache.spark.sql.DataFrame): Dataset[Posting] = {
     val spark = analyzed.sparkSession
     import spark.implicits._
-    analyzed.flatMap { a =>
-      val b = DocIds.bucket(a.docId)
-      a.tfs.iterator.map { case (t, tf) => Posting(t, b, a.docId, tf, a.doclen) }
-    }
+    analyzed
+      .select(col("docId"), col("doclen"),
+        explode(col("tfs")).as(Seq("term", "tf")))
+      .select(col("term"),
+        shiftrightunsigned(col("docId"), 64 - DocIds.bucketBits)
+          .cast("int").as("bucket"),
+        col("docId"), col("tf").cast("int").as("tf"),
+        col("doclen").as("dl"))
+      .as[Posting]
   }
 
   /** Fail the batch if two urls hashed to the same docId (xxhash64
-    * collision). Exact distributed check — one extra aggregation over the
-    * analyzed stage's (docId, url) pairs.
+    * collision). Exact distributed check over a 2-column pruned scan;
+    * returns the row count (piggybacked — same aggregation pass).
     */
-  def checkCollisions(analyzed: Dataset[AnalyzedPage]): Unit = {
-    val dupes = analyzed.toDF()
+  def checkCollisions(docsLike: org.apache.spark.sql.DataFrame): Long = {
+    val row = docsLike.select(col("docId"), col("url"))
       .groupBy("docId").agg(countDistinct("url").as("u"))
-      .filter(col("u") > 1).limit(1).collect()
-    if (dupes.nonEmpty)
+      .agg(count(lit(1)).as("n"), max(col("u")).as("maxu"))
+      .head()
+    val n = row.getLong(0)
+    if (n > 0 && row.getLong(1) > 1)
       throw new IllegalStateException(
-        s"docId collision detected (docId=${dupes(0).getLong(0)}); " +
-          "widen keys to (docId, url) for this corpus")
+        "docId collision detected; widen keys to (docId, url) for this corpus")
+    n
   }
 
   /** Postings → compressed blocks. Shuffles once on (term, bucket), sorts

@@ -75,4 +75,37 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
     val p = new Path(path)
     if (fs.exists(p)) fs.delete(p, true)
   }
+
+  def writeSmallFile(path: String, content: String): Unit = {
+    val p = new Path(path)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readSmallFile(path: String): Option[String] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  /** O(1) directory adoption (staging → version dir). Idempotent: if the
+    * destination already exists the move is considered done (a crashed
+    * run's rerun). Version dirs are invisible until `current` flips, so
+    * adopting staged output is publish-safe. Iceberg analog: committing
+    * staged data files into a snapshot without rewrite.
+    */
+  def moveDir(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    if (fs.exists(d)) return
+    if (!fs.exists(s))
+      throw new IllegalStateException(s"moveDir: neither $src nor $dst exists")
+    fs.mkdirs(d.getParent)
+    if (!fs.rename(s, d))
+      throw new IllegalStateException(s"moveDir: rename $src -> $dst failed")
+  }
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.PageRow
+import graft.sources.TableIO
+import graft.sync.SyncJob
+
+/** Structured Streaming front-end for the sync path (SURVEY §2.10, §7.7).
+  *
+  * The reference is cron-driven micro-batch (CronJob per source,
+  * server/index.js:472-566; single-flight guard lib/sync/utils/jobs.js:1-7)
+  * — the closest Spark-native expression is a file-source stream with
+  * Trigger.AvailableNow: each trigger drains all unseen files, and each
+  * micro-batch routes through the same checkpointed SyncJob (foreachBatch),
+  * so the streaming path and the batch path share one implementation and
+  * one idempotence story. Spark's streaming checkpoint plays the role of
+  * the cron scheduler's "which files have I seen" bookkeeping; the
+  * engine's own checkpoint table keeps batch-level resume.
+  */
+object StreamingSync {
+
+  /** Incrementally index every new parquet file that appears under
+    * `pagesDir`. Blocks until all currently-available data is processed
+    * (AvailableNow), like one cron tick of the reference.
+    */
+  def runAvailableNow(spark: SparkSession, pagesDir: String, indexRoot: String,
+                      streamCheckpoint: String): Unit = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[PageRow].schema)
+      .parquet(pagesDir)
+      .as[PageRow]
+    val io = new TableIO(spark, indexRoot)
+    val q = pages.writeStream
+      .option("checkpointLocation", streamCheckpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>
+        // micro-batch watermark = max warc_ts in the batch; the SyncJob
+        // re-filters against its own indexed watermark, so replays of a
+        // failed micro-batch stay idempotent (same batchTs → same batchId
+        // → done stages skip)
+        val maxTs = batch.agg(max($"warc_ts")).head().getTimestamp(0)
+        if (maxTs != null)
+          SyncJob.run(spark, io, batch, maxTs, resource = s"stream-$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked windowed throughput metrics over a pages stream — the
+    * streaming analog of the ors_* per-batch counters: rows per 1-minute
+    * warc_ts window, tolerating 2 minutes of lateness.
+    */
+  def pagesPerWindow(pages: Dataset[PageRow]): DataFrame =
+    pages
+      .withWatermark("warc_ts", "2 minutes")
+      .groupBy(window(col("warc_ts"), "1 minute"))
+      .agg(count(lit(1)).as("pages"), sum(length(col("text"))).as("chars"))
+      .select(col("window.start").as("window_start"), col("pages"), col("chars"))
+
+  /** Run the windowed metrics over all available data and return the
+    * completed result (in-memory sink, AvailableNow).
+    */
+  def pagesPerWindowOnce(spark: SparkSession, pagesDir: String,
+                         streamCheckpoint: String): DataFrame = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[PageRow].schema)
+      .parquet(pagesDir)
+      .as[PageRow]
+    val name = "pages_per_window_" + System.nanoTime()
+    val q = pagesPerWindow(pages).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", streamCheckpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

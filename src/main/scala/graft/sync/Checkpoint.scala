@@ -1,8 +1,8 @@
 package graft.sync
 
 import java.sql.Timestamp
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import graft.CheckpointRow
 import graft.sources.TableIO
 
 /** Batch state machine — the internalConfig.json analog.
@@ -16,46 +16,68 @@ import graft.sources.TableIO
   *  - oldest unfinished batch selectable for resume
   *    (lib/sync/utils.js:162-186 getOldestBatchId).
   *
-  * Rows append to a parquet log; state = latest row per key. Driver-side
-  * only (tiny table).
+  * Storage: an append-only log of one-line JSON files written directly
+  * through the filesystem — driver-side metadata operations spend zero
+  * Spark jobs (the reference likewise writes internalConfig.json with a
+  * serialized file write, lib/config.js:57-65). State = union of files;
+  * an in-memory snapshot serves reads within a run. The log stays
+  * queryable as a table via `spark.read.json(checkpointsDir)`.
   */
 class Checkpoint(spark: SparkSession, io: TableIO) {
-  import spark.implicits._
 
-  private def table() =
-    if (io.exists(io.checkpointsDir)) Some(io.readParquet(io.checkpointsDir))
-    else None
+  private def fs = new Path(io.root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def readLog(): Seq[(String, String, String, String)] = {
+    val dir = new Path(io.checkpointsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val m = Checkpoint.LineRe.findFirstMatchIn(content).getOrElse(
+        throw new IllegalStateException(
+          s"corrupt checkpoint file ${st.getPath}"))
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    }
+  }
+
+  /** In-memory snapshot of done flags, loaded once per run; markDone
+    * keeps it coherent (the reference holds internalConfig in memory and
+    * flushes on change).
+    */
+  private lazy val doneSet: scala.collection.mutable.Set[(String, String, String, String)] =
+    scala.collection.mutable.Set(readLog(): _*)
 
   def isDone(batchId: String, process: String, resource: String,
              stage: String): Boolean =
-    table().exists { df =>
-      df.filter(
-        $"batch_id" === batchId && $"process" === process &&
-        $"resource" === resource && $"stage" === stage && $"done")
-        .limit(1).count() > 0
-    }
+    doneSet.contains((batchId, process, resource, stage))
 
   def markDone(batchId: String, process: String, resource: String,
                stage: String): Unit = {
-    val row = CheckpointRow(batchId, process, resource, stage, done = true,
-      new Timestamp(System.currentTimeMillis()))
-    io.appendParquet(Seq(row).toDF(), io.checkpointsDir)
+    val ts = new Timestamp(System.currentTimeMillis())
+    val line =
+      s"""{"batch_id":"$batchId","process":"$process","resource":"$resource",""" +
+      s""""stage":"$stage","done":true,"updated_at":"$ts"}\n"""
+    val dir = new Path(io.checkpointsDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val name = s"cp-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    val out = fs.create(new Path(dir, name), false)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+    doneSet += ((batchId, process, resource, stage))
   }
 
-  /** Oldest batch with any not-done stage for the process (resume target). */
-  def oldestUnfinished(process: String): Option[String] =
-    table().flatMap { df =>
-      val published = df
-        .filter($"process" === process && $"stage" === "publish" && $"done")
-        .select($"batch_id").distinct()
-      val all = df.filter($"process" === process).select($"batch_id").distinct()
-      all.join(published, Seq("batch_id"), "left_anti")
-        .orderBy($"batch_id".asc).limit(1)
-        .as[String].collect().headOption
-    }
+  /** Oldest batch with any not-done publish stage for the process. */
+  def oldestUnfinished(process: String): Option[String] = {
+    val rows = readLog().filter(_._2 == process)
+    val published = rows.filter(_._4 == "publish").map(_._1).toSet
+    rows.map(_._1).distinct.filterNot(published).sorted.headOption
+  }
 }
 
 object Checkpoint {
+  private[sync] val LineRe =
+    """\{"batch_id":"([^"]+)","process":"([^"]+)","resource":"([^"]+)","stage":"([^"]+)","done":true""".r
+
   private val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd-'T'-HH-mm-ss-SSS")
   fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
 

@@ -62,7 +62,7 @@ object PurgeJob {
           spark.emptyDataset[graft.DocRow],
           spark.emptyDataset[graft.Posting],
           toPurge, batchId)
-        Tables.write(spark, io, merged, batchId)
+        Tables.writeVersion(spark, io, merged, batchId)
         cp.markDone(batchId, Process, resource, "merge")
       }
       if (!cp.isDone(batchId, Process, resource, "publish")) {

@@ -28,6 +28,20 @@ object SyncJob {
 
   case class Result(batchId: String, deltaRows: Long, millis: Long)
 
+  /** Structured stage log — the EventEmitter ors:* analog
+    * (destinationManager.js:95-98,154,159).
+    */
+  private[sync] def logStage(batchId: String, stage: String, millis: Long): Unit =
+    if (sys.env.get("GRAFT_STAGE_LOG").contains("1"))
+      System.err.println(s"[graft:sync] batch=$batchId stage=$stage millis=$millis")
+
+  private[sync] def timed[A](batchId: String, stage: String)(f: => A): A = {
+    val t0 = System.currentTimeMillis()
+    val a = f
+    logStage(batchId, stage, System.currentTimeMillis() - t0)
+    a
+  }
+
   val Process = "sync"
   val Epoch0 = new Timestamp(0L)
 
@@ -43,7 +57,7 @@ object SyncJob {
 
     // ---- analyze ----------------------------------------------------
     val analyzedDir = io.stagingDir(batchId, "analyzed")
-    if (!cp.isDone(batchId, Process, resource, "analyze")) {
+    if (!cp.isDone(batchId, Process, resource, "analyze")) timed(batchId, "analyze") {
       val lo = Tables.loadCurrent(spark, io)
         .map(t => t.docs.agg(max($"warc_ts")).head())
         .flatMap(r => Option(r.getTimestamp(0)))
@@ -74,11 +88,15 @@ object SyncJob {
     val blocksDir = io.stagingDir(batchId, "blocks")
 
     // ---- segment -----------------------------------------------------
-    if (!cp.isDone(batchId, process, resource, "segment")) {
+    if (!cp.isDone(batchId, process, resource, "segment")) timed(batchId, "segment") {
       val analyzed = io.readParquet(analyzedDir)
-        .as[graft.index.AnalyzedPage]
-      SegmentBuilder.checkCollisions(analyzed)
+      // docs first (column-pruned: the tfs map column is never read),
+      // then the collision check runs on the small written docs table,
+      // piggybacking the delta row count (stashed FS-side for publish —
+      // the staged dirs may be renamed away by the merge stage)
       io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
+      val n = SegmentBuilder.checkCollisions(io.readParquet(docsDir))
+      io.writeSmallFile(s"${io.root}/staging/$batchId/delta_rows", n.toString)
       val blocks = SegmentBuilder.buildBlocks(
         SegmentBuilder.toPostings(analyzed), batchId)
       io.writeParquet(blocks.toDF(), blocksDir)
@@ -86,32 +104,46 @@ object SyncJob {
     }
 
     // ---- merge -------------------------------------------------------
-    if (!cp.isDone(batchId, process, resource, "merge")) {
-      val deltaDocs = io.readParquet(docsDir).as[DocRow]
-      val deltaPostings = io.readParquet(blocksDir).as[graft.IndexBlock]
-        .flatMap(SegmentBuilder.decodeBlock _)
+    if (!cp.isDone(batchId, process, resource, "merge")) timed(batchId, "merge") {
       val old = Tables.loadCurrent(spark, io)
-      val purgedDs = purged.getOrElse(spark.emptyDataset[Long])
-      val merged = Merge.merge(spark, old, deltaDocs, deltaPostings,
-        purgedDs, batchId)
-      Tables.write(spark, io, merged, batchId)
+      if (old.isEmpty && purged.isEmpty) {
+        // initial build: the staged segment (already (term,bucket)-
+        // partitioned, sorted, encoded) IS the index — adopt the staged
+        // dirs by rename (O(1), no re-read) and derive dict/stats
+        io.moveDir(docsDir, s"${io.versionDir(batchId)}/docs")
+        io.moveDir(blocksDir, s"${io.versionDir(batchId)}/index")
+        Tables.deriveDictStats(spark, io, batchId)
+      } else {
+        val deltaDocs = io.readParquet(docsDir).as[DocRow]
+        val stagedBlocks = io.readParquet(blocksDir).as[graft.IndexBlock]
+        val purgedDs = purged.getOrElse(spark.emptyDataset[Long])
+        val merged = Merge.merge(spark, old, deltaDocs,
+          stagedBlocks.flatMap(SegmentBuilder.decodeBlock _),
+          purgedDs, batchId)
+        Tables.writeVersion(spark, io, merged, batchId)
+      }
       cp.markDone(batchId, process, resource, "merge")
     }
 
     // ---- publish -----------------------------------------------------
     if (cp.isDone(batchId, process, resource, "publish"))
       return Result(batchId, 0L, System.currentTimeMillis() - t0)
-    val deltaRows = io.readParquet(docsDir).count()
-    locally {
+    val deltaRows = io.readSmallFile(s"${io.root}/staging/$batchId/delta_rows")
+      .map(_.trim.toLong)
+      .orElse(if (io.exists(docsDir)) Some(io.readParquet(docsDir).count())
+              else None)
+      // staged docs were adopted into the version dir (initial build)
+      .getOrElse(io.readParquet(s"${io.versionDir(batchId)}/docs").count())
+    timed(batchId, "publish") {
       io.publish(batchId)
       val millis = System.currentTimeMillis() - t0
       val blocks = io.readParquet(s"${io.versionDir(batchId)}/index")
         .as[graft.IndexBlock]
       val p = spark.sessionState.conf.numShufflePartitions
       Metrics.append(io,
-        Metrics.segmentMetrics(spark, blocks, batchId, process, p, millis))
-      Metrics.append(io,
-        Metrics.driverRow(spark, batchId, process, deltaRows, millis, "success"))
+        Metrics.segmentMetrics(spark, blocks, batchId, process, p, millis)
+          .unionByName(Metrics.driverRow(spark, batchId, process, deltaRows,
+            millis, "success")))
       cp.markDone(batchId, process, resource, "publish")
       io.deleteDir(s"${io.root}/staging/$batchId")
     }

@@ -31,7 +31,7 @@ class IndexBuildSpec extends SparkTestBase {
 
   test("blocks decode to exactly the oracle's postings") {
     val blocks = SegmentBuilder.buildBlocks(
-      SegmentBuilder.toPostings(analyzed), "b1").persist()
+      SegmentBuilder.toPostings(analyzed.toDF()), "b1").persist()
     val decoded = blocks.flatMap(SegmentBuilder.decodeBlock _)
       .collect()
       .groupBy(_.term)
@@ -60,8 +60,9 @@ class IndexBuildSpec extends SparkTestBase {
   }
 
   test("dict df/cf match the oracle") {
-    val t = Merge.fullBuild(spark, SegmentBuilder.toDocs(analyzed, "b1"),
-      SegmentBuilder.toPostings(analyzed), "b1")
+    val m = Merge.fullBuild(spark, SegmentBuilder.toDocs(analyzed.toDF(), "b1"),
+      SegmentBuilder.toPostings(analyzed.toDF()), "b1")
+    val t = Merge.derive(spark, m.docs, m.index)
     val dict = t.dict.collect().map(d => d.term -> ((d.df, d.cf))).toMap
     assert(dict.size == oracle.postings.size)
     oracle.postings.keys.foreach { term =>
@@ -76,7 +77,7 @@ class IndexBuildSpec extends SparkTestBase {
     def blockSet(parts: Int): Set[(String, Int, Int, Long, Long, Int, Seq[Byte])] = {
       val pg = Corpus.pages(spark, N, parts)
       val an = SegmentBuilder.analyze(pg)
-      SegmentBuilder.buildBlocks(SegmentBuilder.toPostings(an), "b", parts)
+      SegmentBuilder.buildBlocks(SegmentBuilder.toPostings(an.toDF()), "b", parts)
         .collect()
         .map(b => (b.term, b.bucket, b.blockId, b.firstDocId, b.lastDocId,
           b.count, b.docIdsVB.toSeq))
@@ -91,7 +92,7 @@ class IndexBuildSpec extends SparkTestBase {
 
   test("skew: no single (term,bucket) group holds a whole stopword list") {
     val blocks = SegmentBuilder.buildBlocks(
-      SegmentBuilder.toPostings(analyzed), "b1")
+      SegmentBuilder.toPostings(analyzed.toDF()), "b1")
     val theBuckets = blocks.filter($"term" === "the")
       .select($"bucket").distinct().count()
     // "the" appears in nearly every doc; its postings must spread over many

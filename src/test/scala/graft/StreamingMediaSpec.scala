@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.multimodal.Media
+import graft.query.IndexReader
+import graft.sources.TableIO
+import graft.streaming.StreamingSync
+
+/** Structured Streaming sync + multimodal plumbing tests. */
+class StreamingMediaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming sync: AvailableNow drains files into the index, incrementally") {
+    val pagesDir = tmpDir("graft-stream-pages")
+    val root = tmpDir("graft-stream-idx")
+    val cpDir = tmpDir("graft-stream-cp")
+
+    // drop two files, run one tick
+    Corpus.pages(spark, 300, 2).write.mode("append").parquet(pagesDir)
+    StreamingSync.runAvailableNow(spark, pagesDir, root, cpDir)
+    val r1 = new IndexReader(spark, root)
+    assert(r1.stats.n == 300)
+
+    // a third file appears; next tick indexes only the new rows
+    spark.range(300, 500).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    StreamingSync.runAvailableNow(spark, pagesDir, root, cpDir)
+    val r2 = new IndexReader(spark, root)
+    assert(r2.stats.n == 500)
+
+    // result equals a one-shot batch build of the same 500 rows
+    val oracle = new graft.oracle.NaiveIndex(Corpus.localRows(500))
+    val got = r2.topK("the", 10).map(h => (h.docId, h.score)).toSeq
+    val want = oracle.topK("the", 10).map(h => (h.docId, h.score)).toSeq
+    assert(got == want)
+  }
+
+  test("streaming watermarked window aggregation over pages") {
+    val pagesDir = tmpDir("graft-streamw-pages")
+    val cpDir = tmpDir("graft-streamw-cp")
+    Corpus.pages(spark, 400, 2).write.mode("append").parquet(pagesDir)
+    val res = StreamingSync.pagesPerWindowOnce(spark, pagesDir, cpDir)
+    // corpus rows are 1s apart → 400 rows span ~7 one-minute windows;
+    // watermark closes all but the last
+    val rows = res.collect()
+    assert(rows.length >= 4) // watermark holds back the last ~2 windows
+    assert(rows.map(_.getAs[Long]("pages")).sum <= 400)
+    rows.foreach(r => assert(r.getAs[Long]("pages") <= 60))
+  }
+
+  test("media: decode stage yields typed metadata with exact schema") {
+    val media = Media.fakeMediaTable(spark, 200, 4)
+    val decoded = Media.decodeMeta(media)
+    assert(decoded.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "width", "height", "frames", "payload_bytes"))
+    val rows = decoded.collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(Seq("image", "audio", "video").contains(r.kind))
+      assert(r.width >= 64 && r.width < 128)
+      assert(r.payload_bytes == 256)
+    }
+    // partitioning preserved: no shuffle introduced by the decode map
+    assert(decoded.rdd.getNumPartitions == media.rdd.getNumPartitions)
+  }
+
+  test("media: feature extraction produces normalized fixed-width vectors") {
+    val feats = Media.extractFeatures(Media.fakeMediaTable(spark, 100, 4))
+      .collect()
+    assert(feats.length == 100)
+    feats.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    }
+    // deterministic: same id → same vector across runs
+    val again = Media.extractFeatures(Media.fakeMediaTable(spark, 100, 8))
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.media_id) == f.features.toSeq))
+  }
+
+  test("media: frame sampling explodes to one row per frame") {
+    val frames = Media.sampleFrames(Media.fakeMediaTable(spark, 50, 2), 4)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame"))
+    val counts = frames.groupBy($"media_id").count().collect()
+    assert(counts.length == 50)
+    counts.foreach(r => assert(r.getLong(1) == 4))
+  }
+}

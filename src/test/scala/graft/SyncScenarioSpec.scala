@@ -156,11 +156,11 @@ class SyncScenarioSpec extends SparkTestBase {
     io.writeParquet(analyzed.toDF(), io.stagingDir(batchId, "analyzed"))
     cp.markDone(batchId, "sync", "pages", "analyze")
     io.writeParquet(
-      graft.index.SegmentBuilder.toDocs(analyzed, batchId).toDF(),
+      graft.index.SegmentBuilder.toDocs(analyzed.toDF(), batchId).toDF(),
       io.stagingDir(batchId, "docs"))
     io.writeParquet(
       graft.index.SegmentBuilder.buildBlocks(
-        graft.index.SegmentBuilder.toPostings(analyzed), batchId).toDF(),
+        graft.index.SegmentBuilder.toPostings(analyzed.toDF()), batchId).toDF(),
       io.stagingDir(batchId, "blocks"))
     cp.markDone(batchId, "sync", "pages", "segment")
     assert(io.currentVersion().isEmpty) // nothing published yet
