@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.SegmentBuilder
+import graft.sources.TableIO
+import graft.sync.SyncJob
+
+/** Physical-plan assertions — the "would this survive a 100× scale-up"
+  * checks: filters reach the parquet scan, projections prune columns,
+  * small sides broadcast, the posting build shuffles exactly once.
+  */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val root: String = {
+    val r = tmpDir("graft-plan-idx")
+    val io = new TableIO(spark, r)
+    SyncJob.run(spark, io, Corpus.pages(spark, 500, 4),
+      new Timestamp(Corpus.warcTsMillis(500)))
+    r
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE-final plan
+    val s = df.queryExecution.executedPlan.toString
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    // keep only the final plan so operators aren't double-counted
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("query-term filter pushes down to the index parquet scan") {
+    val reader = new graft.query.IndexReader(spark, root)
+    val df = reader.index.filter($"term".isin("the", "rare07")).toDF()
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term filter not pushed down:\n$plan")
+  }
+
+  test("docs projection never reads the tfs map column") {
+    val io = new TableIO(spark, root)
+    val analyzedDir = io.stagingDir("plan-test", "analyzed")
+    io.writeParquet(
+      SegmentBuilder.analyze(Corpus.pages(spark, 50, 2)).toDF(), analyzedDir)
+    val docs = SegmentBuilder.toDocs(io.readParquet(analyzedDir), "b")
+    val plan = executedPlan(docs.toDF())
+    assert(!plan.contains("tfs"), s"tfs column not pruned:\n$plan")
+    assert(plan.contains("ReadSchema") && plan.contains("docId"),
+      s"expected pruned ReadSchema:\n$plan")
+  }
+
+  test("result back-join broadcasts the tiny hit set") {
+    val reader = new graft.query.IndexReader(spark, root)
+    val hits = Seq(Hit(graft.index.DocIds.docId(Corpus.url(1L)), 1.0)).toDF()
+    val joined = reader.docs.join(broadcast(hits), Seq("docId"))
+    val plan = executedPlan(joined)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hit-set join is not broadcast:\n$plan")
+  }
+
+  test("posting build shuffles exactly once (repartition on term,bucket)") {
+    val analyzed = SegmentBuilder.analyze(Corpus.pages(spark, 200, 4)).toDF()
+    val blocks = SegmentBuilder.buildBlocks(
+      SegmentBuilder.toPostings(analyzed), "b")
+    val plan = executedPlan(blocks.toDF())
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
+    assert(plan.contains("Sort ["), s"expected within-partition sort:\n$plan")
+  }
+
+  test("posting explode stays inside whole-stage codegen") {
+    val analyzed = SegmentBuilder.analyze(Corpus.pages(spark, 100, 2)).toDF()
+    val postings = SegmentBuilder.toPostings(analyzed)
+    val plan = executedPlan(postings.toDF())
+    // "*(n)" prefixes are the WholeStageCodegen stage markers
+    assert(plan.contains("*(1)"),
+      s"posting construction fell out of codegen:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"expected columnar explode:\n$plan")
+  }
+
+  test("watermark filter prunes at the pages scan (parquet pushdown)") {
+    val dir = tmpDir("graft-plan-pages")
+    Corpus.pages(spark, 300, 2).write.parquet(dir + "/p")
+    val pages = spark.read.parquet(dir + "/p")
+    val filtered = pages.filter($"warc_ts" > lit(new Timestamp(0L)) &&
+      $"warc_ts" <= lit(new Timestamp(Corpus.warcTsMillis(100))))
+    val plan = executedPlan(filtered.select($"url", $"warc_ts"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(warc_ts"),
+      s"warc_ts filter not pushed:\n$plan")
+    assert(!plan.contains("html"), s"html column not pruned:\n$plan")
+  }
+}
