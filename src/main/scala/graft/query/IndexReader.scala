@@ -37,6 +37,13 @@ class IndexReader(spark: SparkSession, root: String) {
     CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"))
   }
 
+  /** Posting count below which the matching blocks (already term-filtered
+    * at the parquet scan) are collected and WAND runs on the driver — one
+    * Spark job instead of a shuffle round-trip. Stopword-scale queries
+    * stay fully distributed.
+    */
+  val LocalEvalMaxPostings = 200000L
+
   /** Exact BM25 top-k hits, rank-deterministic (score desc, docId asc). */
   def topK(q: String, k: Int, useWand: Boolean = true): Array[Hit] = {
     val terms = Bm25.queryTerms(q)
@@ -49,22 +56,36 @@ class IndexReader(spark: SparkSession, root: String) {
     val n = stats.n
     val avgdl = stats.avgdl
     val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
-    val bIdf = spark.sparkContext.broadcast(idf)
 
-    val candidates: Dataset[Hit] = index
-      .filter($"term".isin(terms.toSeq: _*))
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, blocks) =>
-        val byTerm = blocks.toArray.groupBy(_.term).toSeq
-        val hits =
-          if (useWand) Wand.topKInBucket(byTerm, bIdf.value, avgdl, k)
-          else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k)
-        hits.iterator
+    def evalBucket(byTerm: Seq[(String, Array[IndexBlock])]): Array[Hit] =
+      if (useWand) Wand.topKInBucket(byTerm, idf, avgdl, k)
+      else Wand.taatInBucket(byTerm, idf, avgdl, k)
+
+    val filtered = index.filter($"term".isin(terms.toSeq: _*))
+    val candidates: Array[Hit] =
+      if (dfMap.values.sum <= LocalEvalMaxPostings) {
+        // small posting set: collect the compressed blocks (a few MB at
+        // most) and evaluate per bucket on the driver — same algorithm,
+        // same results, one job
+        filtered.collect()
+          .groupBy(_.bucket).toSeq
+          .flatMap(g => evalBucket(g._2.groupBy(_.term).toSeq))
+          .toArray
+      } else {
+        val bIdf = spark.sparkContext.broadcast(idf)
+        filtered
+          .groupByKey(_.bucket)
+          .flatMapGroups { (_, blocks) =>
+            val byTerm = blocks.toArray.groupBy(_.term).toSeq
+            val hits =
+              if (useWand) Wand.topKInBucket(byTerm, bIdf.value, avgdl, k)
+              else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k)
+            hits.iterator
+          }.collect()
       }
     candidates
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
-      .collect()
+      .sortBy(h => (-h.score, h.docId))
+      .take(k)
   }
 
   /** Top-k joined back to document metadata, with ranks. */
