@@ -49,8 +49,14 @@ object Bench {
   private def scaleRun(cpus: Int, docs: Long, parts: Int): Double = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
+    // larger fixed heap for the scale forks: the scaling corpus shuffles
+    // ~100M+ postings and must not spill differently at different core
+    // counts (spill pressure grows with concurrent tasks)
+    val heap = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAP", "8g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+      .getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xmx"))
+      .toSeq :+ s"-Xmx$heap"
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchScale", cpus.toString, docs.toString, parts.toString)).asJava
@@ -120,7 +126,7 @@ object Bench {
     // ~0.7 efficiency for 8->32 here), which a real 4x-executor cluster
     // does not.
     val scaleDocs = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
-      .getOrElse(benchDocs * 2)
+      .getOrElse(benchDocs)
     var build4 = 0.0
     var build16 = 0.0
     var build8 = 0.0

@@ -331,11 +331,13 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
-    val dot = "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)"
-    val na = "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"
-    val nb = "sqrt(aggregate(qv, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"
+    // custom codegen'd Catalyst expression (graft.functions.CosineSim):
+    // one tight double-accumulating loop instead of an
+    // aggregate(zip_with(...)) lambda chain
     e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      .select(col("vec_id"), round(expr(s"$dot / ($na * $nb)"), 4).as("cos"))
+      .select(col("vec_id"),
+        round(graft.functions.functions.cosine_sim(col("embedding"), col("qv")), 4)
+          .as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }

@@ -45,11 +45,21 @@ object SegmentBuilder extends Serializable {
   def analyze(pages: Dataset[PageRow]): Dataset[AnalyzedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.map { p =>
-      val text = HtmlText.extract(p.html)
-      val (tfs, dl) = Tokenizer.termFreqs(text)
-      AnalyzedPage(DocIds.docId(p.url), p.url, p.warc_ts, p.lang, dl, tfs)
-    }
+    import graft.functions.functions.{extract_text, term_stats}
+    // fully columnar: custom codegen'd expressions keep the whole
+    // pages→analyzed pipeline in one WholeStageCodegen span (no
+    // DeserializeToObject/MapElements seam). xxhash64() uses seed 42 =
+    // DocIds.docId. Codegen subexpression elimination evaluates the
+    // term_stats struct once per row.
+    pages.toDF()
+      .select(
+        xxhash64(col("url")).as("docId"),
+        col("url"), col("warc_ts"), col("lang"),
+        term_stats(extract_text(col("html"))).as("ts"))
+      .select(col("docId"), col("url"), col("warc_ts"), col("lang"),
+        col("ts").getField("doclen").as("doclen"),
+        col("ts").getField("tfs").as("tfs"))
+      .as[AnalyzedPage]
   }
 
   /** Count rows violating the byte-identical extraction invariant. */
