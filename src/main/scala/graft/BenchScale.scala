@@ -44,7 +44,7 @@ object BenchScale {
     }
 
     build(docs / 16 max 2000) // JIT warmup through the full path
-    val sec = Seq(build(docs), build(docs), build(docs)).min
+    val sec = Seq(build(docs), build(docs)).min
     println(f"GRAFT_SCALE cpus=$cpus sec=$sec%.3f")
     spark.stop()
   }
