@@ -37,41 +37,46 @@ class IndexReader(spark: SparkSession, root: String) {
     CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"))
   }
 
-  /** Posting count below which the matching blocks (already term-filtered
-    * at the parquet scan) are collected and WAND runs on the driver — one
-    * Spark job instead of a shuffle round-trip. Stopword-scale queries
-    * stay fully distributed.
+  /** Block count below which the matching blocks (already term-filtered
+    * at the parquet scan) are collected and WAND runs on the driver —
+    * ONE Spark job per query: df (hence idf) derives from the fetched
+    * blocks' own metadata (df = Σ block counts), so no separate dict
+    * probe. Stopword-scale queries fall back to the distributed path.
     */
-  val LocalEvalMaxPostings = 200000L
+  val LocalEvalMaxBlocks = 2048
 
   /** Exact BM25 top-k hits, rank-deterministic (score desc, docId asc). */
   def topK(q: String, k: Int, useWand: Boolean = true): Array[Hit] = {
     val terms = Bm25.queryTerms(q)
     if (terms.isEmpty || k <= 0) return Array.empty
-    val dfMap = dict
-      .filter($"term".isin(terms.toSeq: _*))
-      .select($"term", $"df")
-      .as[(String, Long)].collect().toMap
-    if (dfMap.isEmpty) return Array.empty
     val n = stats.n
     val avgdl = stats.avgdl
-    val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
-
-    def evalBucket(byTerm: Seq[(String, Array[IndexBlock])]): Array[Hit] =
-      if (useWand) Wand.topKInBucket(byTerm, idf, avgdl, k)
-      else Wand.taatInBucket(byTerm, idf, avgdl, k)
 
     val filtered = index.filter($"term".isin(terms.toSeq: _*))
+    // probe fetch: limit+1 tells us whether the local path has everything
+    val probe = filtered.limit(LocalEvalMaxBlocks + 1).collect()
     val candidates: Array[Hit] =
-      if (dfMap.values.sum <= LocalEvalMaxPostings) {
-        // small posting set: collect the compressed blocks (a few MB at
-        // most) and evaluate per bucket on the driver — same algorithm,
-        // same results, one job
-        filtered.collect()
-          .groupBy(_.bucket).toSeq
-          .flatMap(g => evalBucket(g._2.groupBy(_.term).toSeq))
+      if (probe.length <= LocalEvalMaxBlocks) {
+        if (probe.isEmpty) return Array.empty
+        val dfMap = probe.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.map(_.count.toLong).sum }
+        val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+        probe.groupBy(_.bucket).toSeq
+          .flatMap { g =>
+            val byTerm = g._2.groupBy(_.term).toSeq
+            if (useWand) Wand.topKInBucket(byTerm, idf, avgdl, k)
+            else Wand.taatInBucket(byTerm, idf, avgdl, k)
+          }
           .toArray
       } else {
+        // big posting set: dict probe for exact df, then per-bucket WAND
+        // moving only the query terms' compressed blocks
+        val dfMap = dict
+          .filter($"term".isin(terms.toSeq: _*))
+          .select($"term", $"df")
+          .as[(String, Long)].collect().toMap
+        if (dfMap.isEmpty) return Array.empty
+        val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
         val bIdf = spark.sparkContext.broadcast(idf)
         filtered
           .groupByKey(_.bucket)

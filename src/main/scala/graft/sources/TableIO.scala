@@ -76,6 +76,23 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Drop all but the newest `keep` version directories (batchIds sort
+    * chronologically). keep >= 2 leaves the previous version for readers
+    * that resolved `current` just before a publish — the snapshot-GC
+    * discipline Iceberg's expire_snapshots provides in production.
+    * Reference analog: processed batch files are deleted after success
+    * (destinationManager.js:228-229).
+    */
+  def gcVersions(keep: Int = 2): Unit = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return
+    val versions = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v="))
+      .sorted
+    versions.dropRight(keep).foreach(v => deleteDir(versionDir(v)))
+  }
+
   def writeSmallFile(path: String, content: String): Unit = {
     val p = new Path(path)
     fs.mkdirs(p.getParent)

@@ -146,6 +146,7 @@ object SyncJob {
             millis, "success")))
       cp.markDone(batchId, process, resource, "publish")
       io.deleteDir(s"${io.root}/staging/$batchId")
+      io.gcVersions()
     }
     Result(batchId, deltaRows, System.currentTimeMillis() - t0)
   }

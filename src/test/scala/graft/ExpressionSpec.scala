@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.functions.functions.{cosine_sim, extract_text, term_stats}
+
+/** Custom Catalyst expression tests: eval vs interpreted paths, SQL
+  * registry surface, and parity with the pure Scala implementations.
+  */
+class ExpressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("extract_text == HtmlText.extract, inside codegen") {
+    val pages = Corpus.pages(spark, 200, 4)
+    val bad = pages.toDF()
+      .select(col("url"), extract_text(col("html")).as("et"), col("text"))
+      .filter(col("et") =!= col("text"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("term_stats == Tokenizer.termFreqs") {
+    val rows = Corpus.pages(spark, 100, 2).toDF()
+      .select(col("url"),
+        term_stats(extract_text(col("html"))).as("ts"))
+      .select(col("url"), col("ts.tfs"), col("ts.doclen"))
+      .as[(String, Map[String, Int], Int)]
+      .collect()
+    rows.foreach { case (url, tfs, dl) =>
+      val i = url.split("/").last.toLong
+      val (wantTfs, wantDl) = graft.analysis.Tokenizer.termFreqs(Corpus.text(i))
+      assert(dl == wantDl, s"doclen mismatch for $url")
+      assert(tfs == wantTfs, s"tfs mismatch for $url")
+    }
+  }
+
+  test("cosine_sim matches a reference implementation, deterministic") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val q = Seq(Tuple1(Array(2.0f, 1.0f, 0.5f))).toDF("q")
+    val got = vecs.crossJoin(q)
+      .select(col("id"), cosine_sim(col("v"), col("q")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = Array(2.0f, 1.0f, 0.5f)
+    assert(got(1L) == ref(Array(1.0f, 2.0f, 3.0f), qv))
+    assert(got(2L) == ref(Array(-1.0f, 0.5f, 0.0f), qv))
+    assert(got(3L) == 0.0) // zero vector guard
+  }
+
+  test("SQL surface: functions usable via spark.sql after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    Corpus.pages(spark, 20, 2).toDF().createOrReplaceTempView("pages_sql")
+    val n = spark.sql(
+      "SELECT graft_term_stats(graft_extract_text(html)).doclen AS dl " +
+        "FROM pages_sql WHERE graft_extract_text(html) = text")
+      .filter(col("dl") > 0).count()
+    assert(n == 20)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c")
+      .head().getDouble(0)
+    assert(c == 1.0)
+  }
+
+  test("analyze plan has no object-serialization seam") {
+    val analyzed = graft.index.SegmentBuilder.analyze(Corpus.pages(spark, 50, 2))
+    val plan = analyzed.queryExecution.executedPlan.toString
+    // corpus generation itself is a typed map (test-only source); the
+    // extract+tokenize stage must not add MapElements/Deserialize steps
+    assert(!plan.contains("MapElements graft.index"),
+      s"analyze still uses a typed map:\n$plan")
+  }
+}
