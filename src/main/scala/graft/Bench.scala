@@ -108,6 +108,15 @@ object Bench {
 
     // ---- 2. index build + BM25 latency at full parallelism ------------
     val (root32, build32) = buildIndex(spark, benchDocs, cpus * 2)
+    // incremental re-sync: +1% new docs merged into the built index — the
+    // replication steady state (carry-over merge must be O(delta), not
+    // O(index))
+    val deltaN = math.max(benchDocs / 100, 1000)
+    val (_, incSec) = time {
+      SyncJob.run(spark, new TableIO(spark, root32),
+        Corpus.pages(spark, benchDocs + deltaN, cpus * 2),
+        new Timestamp(Corpus.warcTsMillis(benchDocs + deltaN)))
+    }
     val reader = new IndexReader(spark, root32)
     QuerySet.all.foreach { case (_, q) => reader.topK(q, 10) } // warm
     val latencies = QuerySet.all.map { case (_, q) =>
@@ -147,6 +156,7 @@ object Bench {
     val extra =
       f""""index_build":{"docs":$benchDocs,"build_sec_primary":$build32%.2f,""" +
       f""""docs_per_sec_primary":${benchDocs / build32}%.0f,""" +
+      f""""incremental_delta_docs":$deltaN,"incremental_sync_sec":$incSec%.2f,""" +
       f""""scale_docs":$scaleDocs,""" +
       f""""build_sec_local2":$build2%.2f,"build_sec_local8":$build8%.2f,""" +
       f""""build_sec_local4":$build4%.2f,"build_sec_local16":$build16%.2f,""" +
@@ -160,12 +170,14 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     writeBaseline(sfDir, cpus, benchDocs, scaleDocs, total, queryTimes.toMap,
-      build32, build2, build8, build4, build16, eff, eff416, p50, p95)
+      build32, incSec, deltaN, build2, build8, build4, build16, eff, eff416,
+      p50, p95)
     spark.stop()
   }
 
   private def writeBaseline(sfDir: String, cpus: Int, docs: Long,
       scaleDocs: Long, total: Double, qt: Map[String, Double], build: Double,
+      incSec: Double, deltaN: Long,
       b2: Double, b8: Double, b4: Double, b16: Double,
       eff: Double, eff416: Double, p50: Double, p95: Double): Unit = {
     val dir = new java.io.File("BENCH")
@@ -179,6 +191,7 @@ object Bench {
     md.append("| metric | value |\n|---|---|\n")
     md.append(f"| index-build wall (local[$cpus], $docs docs) | $build%.2f s |\n")
     md.append(f"| index-build throughput (local[$cpus]) | ${docs / build}%.0f docs/sec |\n")
+    md.append(f"| incremental sync of +$deltaN docs (1%% delta, carry-over merge) | $incSec%.2f s |\n")
     md.append(f"| BM25 top-10 latency p50 (20-query reference set, warm) | $p50%.3f s |\n")
     md.append(f"| BM25 top-10 latency p95 | $p95%.3f s |\n\n")
     md.append("## Scaling evidence (north rule: N vs 4N)\n\n")

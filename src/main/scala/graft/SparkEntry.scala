@@ -169,6 +169,29 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
       .limit(100)
 
+  /** §2.8 JSON family: parse the events props JSON and aggregate. */
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_total"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** §2.5 window analog: latest event per user (row_number == 1), the
+    * top-1-by-timestamp per key pattern (A2/S6 generalized).
+    */
+  private def qTop1PerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------------
   // A6 index-build aggregations over `documents` (SQL-expressible layer)
   // ------------------------------------------------------------------
@@ -437,6 +460,8 @@ object SparkEntry {
     "q_top1_latest" -> (qTop1Latest _),
     "q_topk_deterministic" -> (qTopkDeterministic _),
     "q_keyset_resume" -> (qKeysetResume _),
+    "q_json_props" -> (qJsonProps _),
+    "q_top1_per_user" -> (qTop1PerUser _),
     "q_tf" -> (qTf _),
     "q_df_dict" -> (qDfDict _),
     "q_doclen" -> (qDoclen _),
@@ -516,6 +541,16 @@ object SparkEntry {
     "q_keyset_resume" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey > 1000
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS bigint)) AS k_total,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_top1_per_user" ->
+      """SELECT user_id, event_id, ts FROM (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_tf" ->
       """SELECT doc_id, term, count(*) AS tf FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
