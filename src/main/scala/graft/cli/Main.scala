@@ -68,6 +68,20 @@ object Main {
         val r = ReconcileJob.run(spark, io, pages(spark, opts), batchTs)
         println(s"reconcile done: batch=${r.batchId} reindexed=${r.reindexed} " +
           s"millis=${r.millis}")
+      case "index-pos" =>
+        graft.index.Positional.build(spark, pages(spark, opts),
+          s"$root/posindex")
+        println(s"positional index written: $root/posindex")
+      case "phrase" =>
+        val q = opts.getOrElse("q", sys.error("--q required"))
+        val k = opts.get("k").map(_.toInt).getOrElse(10)
+        val reader = new IndexReader(spark, root)
+        val hits = graft.query.Phrase.topK(spark, s"$root/posindex", q, k,
+          reader.stats.n, reader.stats.avgdl)
+        if (hits.isEmpty) println("no hits")
+        else hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"${i + 1}%2d  ${h.score}%.6f  ${h.docId}%20d")
+        }
       case "query" =>
         val q = opts.getOrElse("q", sys.error("--q required"))
         val k = opts.get("k").map(_.toInt).getOrElse(10)
@@ -101,8 +115,10 @@ object Main {
     }.toMap
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.cli.Main <sync|purge|reconcile|query> [options]
+    """usage: graft.cli.Main <sync|purge|reconcile|query|index-pos|phrase> [options]
       |  sync|purge|reconcile: --pages <parquet|corpus:N[:parts]> --root <dir>
       |                        [--batch-ts "yyyy-mm-dd hh:mm:ss"] [--max-purge N]
-      |  query:                --root <dir> --q "<terms>" [--k 10]""".stripMargin)
+      |  query:                --root <dir> --q "<terms>" [--k 10]
+      |  index-pos:            --pages <...> --root <dir>   (positional index)
+      |  phrase:               --root <dir> --q "<exact phrase>" [--k 10]""".stripMargin)
 }
