@@ -203,7 +203,7 @@ object Bench {
     md.append("## Scaling evidence (north rule: N vs 4N)\n\n")
     md.append("Same job, same input, same plan (64 input + 64 shuffle ")
     md.append("partitions); only the core count varies. Each level runs in ")
-    md.append("a fresh forked JVM (JIT-warmed, min of two timed builds), ")
+    md.append("a fresh forked JVM (JIT-warmed), ")
     md.append("storage on tmpfs so the single shared disk of this sandbox ")
     md.append("does not masquerade as a scaling limit (cluster disks scale ")
     md.append("with executors).\n\n")
