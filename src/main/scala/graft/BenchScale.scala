@@ -44,9 +44,9 @@ object BenchScale {
     }
 
     build(docs / 16 max 2000) // JIT warmup through the full path
-    val sec = build(docs) // single timed build: runs are long enough that
-                          // relative variance is small, and bench wall time
-                          // stays within the driver's budget
+    // min of two timed builds: this sandbox VM sees host-side CPU-steal
+    // spikes that can double a single run's wall time; min filters them
+    val sec = math.min(build(docs), build(docs))
     println(f"GRAFT_SCALE cpus=$cpus sec=$sec%.3f")
     spark.stop()
   }
