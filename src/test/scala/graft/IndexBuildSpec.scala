@@ -100,4 +100,21 @@ class IndexBuildSpec extends SparkTestBase {
     assert(theBuckets > DocIds.numBuckets / 2,
       s"'the' only in $theBuckets buckets")
   }
+
+  test("skew: shuffle partitions stay balanced despite Zipf stopwords") {
+    import org.apache.spark.sql.functions._
+    val parts = 8
+    val blocks = SegmentBuilder.buildBlocks(
+      SegmentBuilder.toPostings(analyzed.toDF()), "b1", parts)
+    // postings per shuffle partition under the (term,bucket) hash —
+    // SURVEY §7.6.3: no task may hold a disproportionate share
+    val perPart = blocks
+      .withColumn("pid", pmod(hash($"term", $"bucket"), lit(parts)))
+      .groupBy($"pid").agg(sum($"count").as("postings"))
+      .select($"postings").as[Long].collect()
+    val total = perPart.sum.toDouble
+    val maxShare = perPart.max / total
+    assert(maxShare < 0.30,
+      f"hottest partition holds $maxShare%.2f of postings (want < 0.30)")
+  }
 }
