@@ -542,7 +542,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey > 1000
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q_json_props" ->
-      """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS bigint)) AS k_total,
+      """SELECT event_type,
+        |       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_total,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_top1_per_user" ->
@@ -592,7 +593,7 @@ object SparkEntry {
         |  FROM th CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS b)
         |  GROUP BY doc_id, b)
         |SELECT doc_id,
-        |       sum(CASE WHEN s > 0 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS simhash
+        |       cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS bigint) AS simhash
         |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH tk AS (
@@ -630,7 +631,7 @@ object SparkEntry {
         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
         |  GROUP BY vec_id, j)
         |SELECT vec_id,
-        |       sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bucket
+        |       cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_lang_id" ->
       """WITH sc AS (
@@ -666,7 +667,7 @@ object SparkEntry {
         |  SELECT doc_id, text, unnest(generate_series(1, least(length(text), 128))) AS p
         |  FROM documents)
         |SELECT doc_id,
-        |       sum(ascii(substr(text, p, 1)) * ((p*31) % 97)) % 1000000007 AS fingerprint
+        |       cast(sum(ascii(substr(text, p, 1)) * ((p*31) % 97)) % 1000000007 AS bigint) AS fingerprint
         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   private val bm25Sql: String =
