@@ -383,6 +383,27 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** LSH-bucketed ANN search (the scale path end-to-end): the query
+    * vector hashes to its bucket; only co-bucketed vectors are scored
+    * (candidate set << corpus), then exact cosine top-k within them.
+    */
+  private def qAnnLshSearch(s: SparkSession, dir: String): DataFrame = {
+    val buckets = qAnnLshBuckets(s, dir) // (vec_id, bucket)
+    val e = t(s, dir, "embeddings")
+    val qBucket = buckets.filter(col("vec_id") === 0).select(col("bucket"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    buckets
+      .join(broadcast(qBucket), "bucket")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(graft.functions.functions.cosine_sim(col("embedding"), col("qv")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Language-ID by stopword-list voting (n-gram-free heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
     val en = Seq("the", "of", "and", "to", "in", "is", "a")
@@ -474,6 +495,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopK _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_ann_lsh_search" -> (qAnnLshSearch _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -633,6 +655,32 @@ object SparkEntry {
         |SELECT vec_id,
         |       cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_ann_lsh_search" ->
+      """WITH dots AS (
+        |  SELECT vec_id, j,
+        |         sum(cast(embedding[i+1] AS double) * (((i*31 + j*17) % 7) - 3)) AS dot
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+        |  GROUP BY vec_id, j),
+        |bk AS (
+        |  SELECT vec_id,
+        |         cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN bk ON bk.vec_id = e.vec_id JOIN qb ON bk.bucket = qb.bucket
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id,
+        |       round(list_dot_product(list_transform(embedding, x -> cast(x AS double)),
+        |                              list_transform(qv, x -> cast(x AS double)))
+        |         / (sqrt(list_dot_product(list_transform(embedding, x -> cast(x AS double)),
+        |                                  list_transform(embedding, x -> cast(x AS double))))
+        |          * sqrt(list_dot_product(list_transform(qv, x -> cast(x AS double)),
+        |                                  list_transform(qv, x -> cast(x AS double))))), 4) AS cos
+        |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id,
