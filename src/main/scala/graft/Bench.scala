@@ -135,7 +135,7 @@ object Bench {
     // ~0.7 efficiency for 8->32 here), which a real 4x-executor cluster
     // does not.
     val scaleDocs = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
-      .getOrElse(benchDocs)
+      .getOrElse(benchDocs * 3 / 2)
     var build2 = 0.0
     var build8 = 0.0
     var build4 = 0.0
