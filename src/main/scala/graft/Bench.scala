@@ -192,14 +192,15 @@ object Bench {
     md.append(f"| index-build wall (local[$cpus], $docs docs) | $build%.2f s |\n")
     md.append(f"| index-build throughput (local[$cpus]) | ${docs / build}%.0f docs/sec |\n")
     md.append(f"| incremental sync of +$deltaN docs (1%% delta, carry-over merge) | $incSec%.2f s |\n")
+    md.append(f"| BM25 top-10 latency p50 (20-query reference set, warm) | $p50%.3f s |\n")
+    md.append(f"| BM25 top-10 latency p95 | $p95%.3f s |\n")
     md.append("\nNote on the incremental number: the synthetic corpus has a ")
     md.append("deliberately tiny Zipf vocabulary (~4k terms, the skew fixture), ")
     md.append("so even a 1% delta touches nearly every (term,bucket) group and ")
     md.append("the merge rebuilds most groups. On a real web corpus (~1e8+ ")
     md.append("terms) a small delta touches proportionally few groups and the ")
     md.append("pass-through path dominates (metadata-only under Iceberg).\n")
-    md.append(f"| BM25 top-10 latency p50 (20-query reference set, warm) | $p50%.3f s |\n")
-    md.append(f"| BM25 top-10 latency p95 | $p95%.3f s |\n\n")
+    md.append("\n")
     md.append("## Scaling evidence (north rule: N vs 4N)\n\n")
     md.append("Same job, same input, same plan (64 input + 64 shuffle ")
     md.append("partitions); only the core count varies. Each level runs in ")
