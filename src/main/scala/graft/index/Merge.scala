@@ -2,27 +2,45 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{CorpusStats, DictRow, DocRow, IndexBlock, Posting}
+import graft.{CorpusStats, DictRow, DocRow, IndexBlock, Posting, Tombstone}
 
-/** The logical tables of one published index version. */
+/** The logical tables of one published index version (LSM view).
+  *
+  * @param docs  tombstone-filtered live doc rows
+  * @param index raw union of all segments' posting blocks — dead postings
+  *              are filtered at decode time against `tombstones`
+  */
 case class IndexTables(
+    version: String,
+    segments: Seq[String],
     docs: Dataset[DocRow],
     index: Dataset[IndexBlock],
+    tombstones: Dataset[Tombstone],
+    tombstoneCount: Long,
     dict: Dataset[DictRow],
     stats: CorpusStats)
 
 /** docs + index plans of a merge, before dict/stats derivation (those are
   * computed from the *written* parquet so the encode shuffle never runs
-  * twice — see Tables.writeVersion).
+  * twice — see Tables.deriveDictStats).
   */
 case class MergedData(docs: Dataset[DocRow], index: Dataset[IndexBlock])
 
-/** Distributed merge of a delta segment into the global term-partitioned
+/** Distributed merge of delta segments into the global term-partitioned
   * index (SURVEY §7.1 stage ④; north rule "distributed merge of
   * partition-local segments into a term-partitioned global index").
   *
-  * Incremental merge = three disjoint paths over the old index, chosen per
-  * block, so a small sync batch never shuffles the whole index:
+  * Since the LSM layout landed, the steady-state sync never calls this —
+  * it appends a delta segment + tombstones in O(delta)
+  * ([[graft.sync.Tables.appendVersion]]). Merge is the '''compactor''':
+  * every `compactThreshold` batches the accumulated segments fold into one
+  * (base = the oldest/largest segment, delta = the younger segments' live
+  * postings), so per-batch merge I/O amortizes to O(index / threshold) —
+  * the Lucene tiered-merge discipline, expressed as one Spark plan.
+  *
+  * Compaction = three disjoint paths over the base index, chosen per
+  * block, so a compaction touching few groups never shuffles the whole
+  * index:
   *
   *  1. pass-through — (term,bucket) untouched by the delta and docId range
   *     contains no affected doc: block binary is carried verbatim (with
@@ -59,19 +77,22 @@ object Merge extends Serializable {
                 deltaPostings: Dataset[Posting], batchId: String): MergedData =
     MergedData(deltaDocs, SegmentBuilder.buildBlocks(deltaPostings, batchId))
 
+  /** @param base raw (docs, index) of the base segment — dead rows are
+    *             removed via `purgedDocIds` + the delta's own docIds
+    */
   def merge(
       spark: SparkSession,
-      old: Option[IndexTables],
+      base: Option[(Dataset[DocRow], Dataset[IndexBlock])],
       deltaDocs: Dataset[DocRow],
       deltaPostings: Dataset[Posting],
       purgedDocIds: Dataset[Long],
       batchId: String): MergedData = {
     import spark.implicits._
 
-    old match {
+    base match {
       case None =>
         fullBuild(spark, deltaDocs, deltaPostings, batchId)
-      case Some(o) =>
+      case Some((baseDocs, baseIndex)) =>
         val deltaIds = deltaDocs.select($"docId").as[Long]
         val affectedDs = deltaIds.union(purgedDocIds).distinct()
         val nAffected = affectedDs.count()
@@ -81,24 +102,30 @@ object Merge extends Serializable {
         if (nAffected + nGroups > MaxBroadcast) {
           // join-based full rebuild (huge batch): decode everything,
           // anti-join tombstones, rebuild all groups in one shuffle.
-          val oldPostings = o.index.flatMap(SegmentBuilder.decodeBlock _)
+          val oldPostings = baseIndex.flatMap(SegmentBuilder.decodeBlock _)
           val live = oldPostings
             .join(affectedDs.toDF("docId"), Seq("docId"), "left_anti")
             .as[Posting]
           val index = SegmentBuilder.buildBlocks(live.unionByName(deltaPostings), batchId)
-          val docs = o.docs
+          val docs = baseDocs
             .join(affectedDs.toDF("docId"), Seq("docId"), "left_anti")
             .as[DocRow].unionByName(deltaDocs)
           MergedData(docs, index)
         } else {
           val affected: Array[Long] = affectedDs.collect().sorted
-          val groups: Set[(String, Int)] =
-            groupsDs.as[(String, Int)].collect().toSet
+          // groups travel as hashed Longs, not term strings — a wide-vocab
+          // delta would otherwise plant GBs of strings on the driver. A
+          // hash collision only mis-routes an untouched group into the
+          // rebuild path (same postings re-encoded — correct, just work).
+          val groups: Array[Long] =
+            groupsDs.as[(String, Int)].map(g => groupKey(g._1, g._2))
+              .collect().sorted
           val bAffected = spark.sparkContext.broadcast(affected)
           val bGroups = spark.sparkContext.broadcast(groups)
 
           def isTouched(b: IndexBlock): Boolean =
-            bGroups.value.contains((b.term, b.bucket))
+            java.util.Arrays.binarySearch(
+              bGroups.value, groupKey(b.term, b.bucket)) >= 0
           def overlaps(b: IndexBlock): Boolean =
             rangeHasAny(bAffected.value, b.firstDocId, b.lastDocId)
           def liveOnly(ps: Array[Posting]): Array[Posting] = {
@@ -106,28 +133,36 @@ object Merge extends Serializable {
             ps.filter(p => java.util.Arrays.binarySearch(a, p.docId) < 0)
           }
 
-          val passThrough = o.index.filter(b => !isTouched(b) && !overlaps(b))
-          val rewritten = o.index
+          val passThrough = baseIndex.filter(b => !isTouched(b) && !overlaps(b))
+          val rewritten = baseIndex
             .filter(b => !isTouched(b) && overlaps(b))
             .flatMap { b =>
               val live = liveOnly(SegmentBuilder.decodeBlock(b))
               if (live.isEmpty) None
               else Some(SegmentBuilder.reencodeBlock(b, live))
             }
-          val pooled = o.index
+          val pooled = baseIndex
             .filter(isTouched _)
             .flatMap(b => liveOnly(SegmentBuilder.decodeBlock(b)))
           val rebuilt =
             SegmentBuilder.buildBlocks(pooled.unionByName(deltaPostings), batchId)
           val index = passThrough.unionByName(rewritten).unionByName(rebuilt)
 
-          val docs = o.docs
+          val docs = baseDocs
             .filter(d => java.util.Arrays.binarySearch(bAffected.value, d.docId) < 0)
             .unionByName(deltaDocs)
           MergedData(docs, index)
         }
     }
   }
+
+  /** 64-bit group key for the touched-group membership set (same xxhash64
+    * family as docIds, bucket as the seed so (t,0) and (t,1) differ).
+    */
+  private def groupKey(term: String, bucket: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, bucket.toLong)
 
   /** Any element of sorted `a` inside the signed range [lo, hi]? (Block
     * ranges never span a bucket, so signed order == unsigned order inside
@@ -142,9 +177,9 @@ object Merge extends Serializable {
   /** Derive dict + corpus stats from docs/index plans. dict needs only
     * block metadata columns (count, tfSum); docs stats scan one int
     * column. Production path derives these from the written parquet
-    * (Tables.writeVersion) so the encode shuffle never re-runs; this
-    * in-plan variant serves tests. In production Iceberg both are
-    * maintained incrementally.
+    * (Tables.deriveDictStats) so the encode shuffle never re-runs; this
+    * in-plan variant serves tests. Appends maintain both incrementally
+    * (Tables.appendVersion).
     */
   def derive(spark: SparkSession, docs: Dataset[DocRow],
              index: Dataset[IndexBlock]): IndexTables = {
@@ -155,7 +190,8 @@ object Merge extends Serializable {
     val row = docs.agg(count(lit(1)), sum($"doclen")).head()
     val n = row.getLong(0)
     val sumDl = if (row.isNullAt(1)) 0L else row.getLong(1)
-    val stats = CorpusStats(n, if (n == 0) 0.0 else sumDl.toDouble / n)
-    IndexTables(docs, index, dict, stats)
+    val stats = CorpusStats(n, if (n == 0) 0.0 else sumDl.toDouble / n, sumDl)
+    IndexTables("derived", Seq.empty, docs, index,
+      spark.emptyDataset[Tombstone], 0L, dict, stats)
   }
 }

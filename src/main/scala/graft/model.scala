@@ -64,8 +64,21 @@ case class IndexBlock(
 /** Term dictionary row (df = #docs containing term, cf = Σ tf). */
 case class DictRow(term: String, df: Long, cf: Long)
 
-/** Global corpus statistics. */
-case class CorpusStats(n: Long, avgdl: Double)
+/** Global corpus statistics. `sumDl` is carried so incremental syncs can
+  * maintain `avgdl = sumDl / n` with exact integer arithmetic (a float
+  * running-average would drift from the oracle's Σdl/n).
+  */
+case class CorpusStats(n: Long, avgdl: Double, sumDl: Long = 0L)
+
+/** LSM tombstone: docId is dead in every segment whose batch_id sorts
+  * before `before` (batchIds are chronologically ordered strings). An
+  * update written by batch B records (docId, B): all older occurrences die,
+  * B's own survives. A purge records (docId, "~") — "~" sorts after every
+  * batchId, so every occurrence dies. The reference analog is Solr's
+  * per-commit delete set (lib/sync/dataAdapters/solr/solr.js:169-185);
+  * Lucene calls this liveDocs.
+  */
+case class Tombstone(docId: Long, before: String)
 
 /** Checkpoint row — the internalConfig.json analog (reference:
   * lib/config.js:30-65 + batch objects downloader.js:79-91). One row per

@@ -2,20 +2,23 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{CorpusStats, Hit, IndexBlock, ScoredDoc}
+import graft.{CorpusStats, DocRow, Hit, IndexBlock, ScoredDoc, Tombstone}
 import graft.sources.TableIO
 
-/** Snapshot-isolated reader over one published index version.
+/** Snapshot-isolated reader over one published index version (an LSM
+  * manifest of immutable segments + a tombstone set).
   *
   * search(q, k) plan (one narrow job per query):
   *   1. dict probe: `dict.filter(term ∈ q)` — parquet min/max pruned,
   *      collects ≤ |q| rows (df → idf).
-  *   2. block scan: `index.filter(term ∈ q)` — predicate pushdown prunes
-  *      row groups (the index is written sorted by term); only the query
-  *      terms' blocks are read, never the whole index.
+  *   2. block scan: `index.filter(term ∈ q)` over the union of segment
+  *      dirs — predicate pushdown prunes row groups (segments are written
+  *      sorted by term); only the query terms' blocks are read, never the
+  *      whole index.
   *   3. `groupByKey(bucket) → flatMapGroups(Wand.topKInBucket)` — one WAND
   *      instance per docId bucket; a skewed term's buckets run in parallel
   *      (this shuffle moves only the query terms' compressed blocks).
+  *      Tombstoned postings are skipped at decode (broadcast dead map).
   *   4. global merge: `sort(score desc, docId asc).limit(k)` over ≤
   *      numBuckets·k candidates, then a broadcast join back to docs for
   *      the url (reference surface analog: Solr q/fl/sort/rows,
@@ -28,20 +31,47 @@ class IndexReader(spark: SparkSession, root: String) {
   val version: String = io.currentVersion().getOrElse(
     throw new IllegalStateException(s"no published index at $root"))
 
-  val docs: DataFrame = io.readParquet(s"${io.versionDir(version)}/docs")
+  val (segments: Seq[String], tombstoneCount: Long) = io.readManifest(version)
+
+  private def segPaths(sub: String): Seq[String] =
+    segments.map(s => s"${io.segmentDir(s)}/$sub")
+
   val index: Dataset[IndexBlock] =
-    io.readParquet(s"${io.versionDir(version)}/index").as[IndexBlock]
+    spark.read.parquet(segPaths("index"): _*).as[IndexBlock]
   val dict: DataFrame = io.readParquet(s"${io.versionDir(version)}/dict")
   val stats: CorpusStats = {
     val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
-    CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"))
+    CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),
+      r.getAs[Long]("sumDl"))
+  }
+
+  /** Tombstones, collected once per reader (bounded: compaction resets
+    * the set every compactThreshold batches; production would hold them
+    * as per-segment bitmaps, Lucene's liveDocs).
+    */
+  val dead: Map[Long, String] =
+    if (tombstoneCount == 0) Map.empty
+    else io.readParquet(s"${io.versionDir(version)}/tombstones")
+      .as[Tombstone].collect().map(t => t.docId -> t.before).toMap
+
+  /** Live doc rows (tombstone-filtered; no join when the set is empty). */
+  val docs: DataFrame = {
+    val raw = spark.read.parquet(segPaths("docs"): _*)
+    if (dead.isEmpty) raw
+    else {
+      val t = dead.toSeq.toDF("t_docId", "t_before")
+      raw.join(broadcast(t),
+        raw("docId") === $"t_docId" && raw("batch_id") < $"t_before",
+        "left_anti")
+    }
   }
 
   /** Block count below which the matching blocks (already term-filtered
     * at the parquet scan) are collected and WAND runs on the driver —
-    * ONE Spark job per query: df (hence idf) derives from the fetched
-    * blocks' own metadata (df = Σ block counts), so no separate dict
-    * probe. Stopword-scale queries fall back to the distributed path.
+    * ONE Spark job per query: with no tombstones, df (hence idf) derives
+    * from the fetched blocks' own metadata (df = Σ block counts), so no
+    * separate dict probe. Stopword-scale queries fall back to the
+    * distributed path.
     */
   val LocalEvalMaxBlocks = 2048
 
@@ -52,39 +82,48 @@ class IndexReader(spark: SparkSession, root: String) {
     val n = stats.n
     val avgdl = stats.avgdl
 
+    // exact df per term: block metadata when no tombstones, dict otherwise
+    // (block counts include dead postings)
+    def dictDf(): Map[String, Long] = dict
+      .filter($"term".isin(terms.toSeq: _*))
+      .select($"term", $"df")
+      .as[(String, Long)].collect().toMap
+
     val filtered = index.filter($"term".isin(terms.toSeq: _*))
     // probe fetch: limit+1 tells us whether the local path has everything
     val probe = filtered.limit(LocalEvalMaxBlocks + 1).collect()
     val candidates: Array[Hit] =
       if (probe.length <= LocalEvalMaxBlocks) {
         if (probe.isEmpty) return Array.empty
-        val dfMap = probe.groupBy(_.term)
-          .map { case (t, bs) => t -> bs.map(_.count.toLong).sum }
+        val dfMap =
+          if (dead.isEmpty)
+            probe.groupBy(_.term)
+              .map { case (t, bs) => t -> bs.map(_.count.toLong).sum }
+          else dictDf()
         val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
         probe.groupBy(_.bucket).toSeq
           .flatMap { g =>
             val byTerm = g._2.groupBy(_.term).toSeq
-            if (useWand) Wand.topKInBucket(byTerm, idf, avgdl, k)
-            else Wand.taatInBucket(byTerm, idf, avgdl, k)
+            if (useWand) Wand.topKInBucket(byTerm, idf, avgdl, k, dead)
+            else Wand.taatInBucket(byTerm, idf, avgdl, k, dead)
           }
           .toArray
       } else {
         // big posting set: dict probe for exact df, then per-bucket WAND
         // moving only the query terms' compressed blocks
-        val dfMap = dict
-          .filter($"term".isin(terms.toSeq: _*))
-          .select($"term", $"df")
-          .as[(String, Long)].collect().toMap
+        val dfMap = dictDf()
         if (dfMap.isEmpty) return Array.empty
         val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
         val bIdf = spark.sparkContext.broadcast(idf)
+        val bDead = spark.sparkContext.broadcast(dead)
         filtered
           .groupByKey(_.bucket)
           .flatMapGroups { (_, blocks) =>
             val byTerm = blocks.toArray.groupBy(_.term).toSeq
             val hits =
-              if (useWand) Wand.topKInBucket(byTerm, bIdf.value, avgdl, k)
-              else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k)
+              if (useWand)
+                Wand.topKInBucket(byTerm, bIdf.value, avgdl, k, bDead.value)
+              else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k, bDead.value)
             hits.iterator
           }.collect()
       }

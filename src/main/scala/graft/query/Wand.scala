@@ -12,6 +12,15 @@ import graft.index.Codec
   * producing a rank-safe local top-k; the global top-k is the
   * (score desc, docId asc) head of the per-bucket unions.
   *
+  * LSM awareness: a term's blocks may span several segments (disjoint
+  * docId ranges *within* a segment, overlapping *across* segments), so a
+  * term's cursor is a small k-way merge of per-segment cursors, and every
+  * per-segment cursor skips tombstoned postings (docId dead in segments
+  * whose batch_id sorts before the tombstone's `before` — at most one
+  * segment holds a live posting per (term, docId)). Dead postings only
+  * weaken block-max bounds (upper bounds stay upper bounds), never
+  * scores.
+  *
   * Rank-safety with the deterministic tie-break: candidates arrive in
   * ascending docId order, so an equal-score later doc never evicts an
   * earlier one — the heap admits strictly-greater scores only, and blocks
@@ -23,13 +32,35 @@ import graft.index.Codec
   */
 object Wand extends Serializable {
 
-  /** A cursor over one term's posting blocks within a bucket. Blocks are
-    * sorted by firstDocId (disjoint ranges) and decoded lazily on entry.
+  /** Posting-cursor contract shared by the single-segment cursor and the
+    * cross-segment merge cursor.
+    */
+  sealed trait Cursor {
+    def curDoc: Long
+    def exhausted: Boolean = curDoc == Long.MaxValue
+    /** Upper bound of this term's score anywhere in the bucket. */
+    def globalUB: Double
+    /** Upper bound over the current block(s) (block-max). */
+    def currentBlockUB: Double
+    /** Last docId covered by the current block(s) — safe skip boundary. */
+    def currentBlockLast: Long
+    /** Advance to the first live posting with docId >= target. */
+    def seek(target: Long): Unit
+    def next(): Unit =
+      seek(if (curDoc == Long.MaxValue) curDoc else curDoc + 1)
+    /** Score contribution at curDoc (call only when positioned on it). */
+    def score(): Double
+  }
+
+  /** A cursor over one term's posting blocks within (bucket, segment).
+    * Blocks are sorted by firstDocId (disjoint ranges within a segment)
+    * and decoded lazily on entry; tombstoned postings are skipped.
     */
   final class TermCursor(val term: String, val idf: Double,
-                         blocks0: Array[IndexBlock], avgdl: Double) {
+                         blocks0: Array[IndexBlock], avgdl: Double,
+                         dead: Map[Long, String] = Map.empty)
+      extends Cursor {
     private val blocks = blocks0.sortBy(_.firstDocId)
-    /** Global upper bound of this term's score in the bucket. */
     val globalUB: Double =
       blocks.map(b => Bm25.blockUpperBound(idf, b.maxTf, b.minDl, avgdl)).max
 
@@ -40,6 +71,18 @@ object Wand extends Serializable {
     private var pi = 0
     var curDoc: Long = _
     decodeAndPosition()
+    skipDead()
+
+    private def isDead(id: Long): Boolean =
+      dead.nonEmpty && dead.get(id).exists(before => blocks(bi).batch_id < before)
+
+    private def skipDead(): Unit = {
+      while (!exhausted && isDead(curDoc)) {
+        pi += 1
+        if (pi >= ids.length) { bi += 1; decodeAndPosition() }
+        else curDoc = ids(pi)
+      }
+    }
 
     private def decodeAndPosition(): Unit = {
       if (bi >= blocks.length) { curDoc = Long.MaxValue; ids = null }
@@ -53,18 +96,13 @@ object Wand extends Serializable {
       }
     }
 
-    def exhausted: Boolean = curDoc == Long.MaxValue
-
-    /** Upper bound of the current block (block-max). */
     def currentBlockUB: Double = {
       val b = blocks(bi)
       Bm25.blockUpperBound(idf, b.maxTf, b.minDl, avgdl)
     }
 
-    /** Last docId of the current block (block-max skip boundary). */
     def currentBlockLast: Long = blocks(bi).lastDocId
 
-    /** Advance to the first posting with docId >= target. */
     def seek(target: Long): Unit = {
       if (exhausted || curDoc >= target) return
       // skip whole blocks without decoding
@@ -75,15 +113,94 @@ object Wand extends Serializable {
       }
       // position within the block
       while (pi < ids.length && ids(pi) < target) pi += 1
-      if (pi >= ids.length) { bi += 1; decodeAndPosition(); seek(target) }
-      else curDoc = ids(pi)
+      if (pi >= ids.length) {
+        bi += 1; decodeAndPosition(); skipDead(); seek(target)
+      } else { curDoc = ids(pi); skipDead() }
     }
 
-    def next(): Unit = seek(if (curDoc == Long.MaxValue) curDoc else curDoc + 1)
-
-    /** Score contribution at curDoc (call only when positioned on it). */
     def score(): Double = Bm25.termScore(idf, tfs(pi), dls(pi), avgdl)
   }
+
+  /** One term's cursor across several segments: positions at the minimum
+    * child docId. The tombstone invariant (at most one live segment per
+    * docId) guarantees exactly one child contributes at any doc, so
+    * globalUB is the max (not sum) of the children's.
+    */
+  final class MergedTermCursor(children: Array[TermCursor]) extends Cursor {
+    val globalUB: Double = children.map(_.globalUB).max
+    var curDoc: Long = _
+    refresh()
+
+    private def refresh(): Unit = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < children.length) {
+        if (children(i).curDoc < m) m = children(i).curDoc
+        i += 1
+      }
+      curDoc = m
+    }
+
+    def currentBlockUB: Double = {
+      var ub = 0.0
+      var i = 0
+      while (i < children.length) {
+        if (!children(i).exhausted && children(i).currentBlockUB > ub)
+          ub = children(i).currentBlockUB
+        i += 1
+      }
+      ub
+    }
+
+    def currentBlockLast: Long = {
+      // the window where the UB above is valid: up to the nearest child
+      // block boundary (each child's block covers [its curDoc, its last])
+      var last = Long.MaxValue
+      var i = 0
+      while (i < children.length) {
+        if (!children(i).exhausted && children(i).currentBlockLast < last)
+          last = children(i).currentBlockLast
+        i += 1
+      }
+      last
+    }
+
+    def seek(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      var i = 0
+      while (i < children.length) { children(i).seek(target); i += 1 }
+      refresh()
+    }
+
+    def score(): Double = {
+      var i = 0
+      while (i < children.length) {
+        if (children(i).curDoc == curDoc) return children(i).score()
+        i += 1
+      }
+      throw new IllegalStateException("merged cursor not positioned")
+    }
+  }
+
+  /** Build one cursor per term: per-segment TermCursors (grouped by the
+    * blocks' batch_id — within a segment a (term,bucket) group is
+    * single-batch, so batch_id IS the segment discriminator), merged when
+    * the term spans segments.
+    */
+  private def cursors(termBlocks: Seq[(String, Array[IndexBlock])],
+                      idf: Map[String, Double], avgdl: Double,
+                      dead: Map[Long, String]): Array[Cursor] =
+    termBlocks
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1) // lex order = fixed scoring order
+      .map { case (t, bs) =>
+        val groups = bs.groupBy(_.batch_id).toSeq.sortBy(_._1)
+        val children =
+          groups.map { case (_, g) => new TermCursor(t, idf(t), g, avgdl, dead) }
+        if (children.size == 1) children.head
+        else new MergedTermCursor(children.toArray): Cursor
+      }
+      .toArray
 
   /** Bounded top-k heap with the deterministic (score desc, docId asc)
     * order. `insert` admits strictly-greater scores only — callers feed
@@ -117,21 +234,18 @@ object Wand extends Serializable {
 
   /** Exact top-k over one bucket's blocks for the query terms.
     *
-    * @param termBlocks (term, blocks-in-this-bucket), terms lexicographically
-    *                   sorted (the fixed score-summation order)
-    * @param idf        per query term (from the dict, global df)
+    * @param termBlocks (term, blocks-in-this-bucket) — blocks may span
+    *                   segments (handled via batch_id grouping)
+    * @param idf        per query term (from the dict, global live df)
+    * @param dead       tombstones: docId → dead-before batchId
     */
   def topKInBucket(
       termBlocks: Seq[(String, Array[IndexBlock])],
       idf: Map[String, Double],
       avgdl: Double,
-      k: Int): Array[Hit] = {
-    // lex-sorted cursor array = fixed scoring order
-    val lex: Array[TermCursor] = termBlocks
-      .filter(_._2.nonEmpty)
-      .sortBy(_._1)
-      .map { case (t, bs) => new TermCursor(t, idf(t), bs, avgdl) }
-      .toArray
+      k: Int,
+      dead: Map[Long, String] = Map.empty): Array[Hit] = {
+    val lex: Array[Cursor] = cursors(termBlocks, idf, avgdl, dead)
     if (lex.isEmpty || k <= 0) return Array.empty
 
     val topk = new TopK(k)
@@ -140,7 +254,7 @@ object Wand extends Serializable {
 
     var done = false
     while (!done) {
-      java.util.Arrays.sort(byDoc, (a: TermCursor, b: TermCursor) =>
+      java.util.Arrays.sort(byDoc, (a: Cursor, b: Cursor) =>
         java.lang.Long.compare(a.curDoc, b.curDoc))
       if (byDoc(0).exhausted) done = true
       else {
@@ -219,19 +333,24 @@ object Wand extends Serializable {
       termBlocks: Seq[(String, Array[IndexBlock])],
       idf: Map[String, Double],
       avgdl: Double,
-      k: Int): Array[Hit] = {
+      k: Int,
+      dead: Map[Long, String] = Map.empty): Array[Hit] = {
     val acc = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
     termBlocks.sortBy(_._1).foreach { case (t, bs) =>
       val theIdf = idf(t)
-      bs.sortBy(_.firstDocId).foreach { b =>
+      bs.sortBy(b => (b.batch_id, b.firstDocId)).foreach { b =>
         val ids = Codec.decodeDocIds(b.docIdsVB, b.count, b.firstDocId)
         val tfs = Codec.decodeInts(b.tfsVB, b.count)
         val dls = Codec.decodeInts(b.dlsVB, b.count)
         var i = 0
         while (i < b.count) {
-          val s = Bm25.termScore(theIdf, tfs(i), dls(i), avgdl)
-          val prev = acc.get(ids(i))
-          acc.put(ids(i), (if (prev == null) 0.0 else prev.doubleValue()) + s)
+          val live = dead.isEmpty ||
+            !dead.get(ids(i)).exists(before => b.batch_id < before)
+          if (live) {
+            val s = Bm25.termScore(theIdf, tfs(i), dls(i), avgdl)
+            val prev = acc.get(ids(i))
+            acc.put(ids(i), (if (prev == null) 0.0 else prev.doubleValue()) + s)
+          }
           i += 1
         }
       }

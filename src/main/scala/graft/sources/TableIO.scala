@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned table storage with atomic publish (SURVEY §4 item 5, §7.2).
@@ -11,19 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   * root/
-  *   v=<batchId>/{docs,index,dict,stats}/   immutable version directories
+  *   segments/<segId>/{docs,index,fwd}/     immutable LSM segments, shared
+  *                                          across versions (manifest refs)
+  *   v=<batchId>/{manifest,tombstones,dict,stats}  version = manifest of
+  *                                          segment ids + tombstones + stats
   *   current                                text file naming the live version
   *   staging/<batchId>/<stage>/             resumable intermediate outputs
-  *   checkpoints/                           append-only parquet (internalConfig analog)
+  *   checkpoints/                           append-only JSON log (internalConfig analog)
   *   metrics/                               append-only parquet (ors_* analog)
   * }}}
   *
-  * Publish = write the full v= dir, then atomically rename current.tmp →
-  * current (atomic on local FS and HDFS; on S3 Iceberg's metadata commit
-  * plays this role). Readers resolve `current` once and then only touch
-  * immutable paths — snapshot isolation, like a Solr commit
-  * (reference: lib/sync/dataAdapters/solr/solr.js:104) or a MySQL
-  * transaction (mysql/mysql.js:300).
+  * Publish = write the v= dir, then atomically rename current.tmp →
+  * current with OVERWRITE (atomic on local FS and HDFS; on S3 Iceberg's
+  * metadata commit plays this role). Readers resolve `current` once and
+  * then only touch immutable paths — snapshot isolation, like a Solr
+  * commit (reference: lib/sync/dataAdapters/solr/solr.js:104) or a MySQL
+  * transaction (mysql/mysql.js:300). Segments shared between versions are
+  * referenced, never copied — an incremental sync writes only its delta
+  * segment (the Iceberg manifest-reuse discipline).
   */
 class TableIO(val spark: SparkSession, val root: String) extends Serializable {
 
@@ -31,11 +36,34 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def versionDir(batchId: String): String = s"$root/v=$batchId"
+  def segmentDir(segId: String): String = s"$root/segments/$segId"
   def stagingDir(batchId: String, stage: String): String =
     s"$root/staging/$batchId/$stage"
   def checkpointsDir: String = s"$root/checkpoints"
   def metricsDir: String = s"$root/metrics"
   private def currentPath = new Path(s"$root/current")
+
+  /** Segment ids referenced by a version's manifest, oldest first, plus
+    * the tombstone-row count (kept in the manifest so loading a version
+    * with zero tombstones costs no Spark job).
+    */
+  def readManifest(version: String): (Seq[String], Long) = {
+    val content = readSmallFile(s"${versionDir(version)}/manifest").getOrElse(
+      throw new IllegalStateException(s"no manifest for version $version"))
+    val segs = TableIO.ManifestSegsRe.findFirstMatchIn(content)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val tombs = TableIO.ManifestTombsRe.findFirstMatchIn(content)
+      .map(_.group(1).toLong).getOrElse(0L)
+    (segs, tombs)
+  }
+
+  def writeManifest(version: String, segments: Seq[String],
+                    tombstoneCount: Long): Unit =
+    writeSmallFile(s"${versionDir(version)}/manifest",
+      segments.map("\"" + _ + "\"").mkString(
+        "{\"segments\":[", ",", s"],\"tombstones\":$tombstoneCount}"))
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
@@ -52,15 +80,19 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
     }
   }
 
-  /** Atomically flip the `current` pointer to `batchId`. */
+  /** Atomically flip the `current` pointer to `batchId`. Uses
+    * FileContext.rename(OVERWRITE) — a single atomic step on local FS and
+    * HDFS, so no reader ever observes a missing `current` (a delete+rename
+    * pair would open exactly that window).
+    */
   def publish(batchId: String): Unit = {
     val tmp = new Path(s"$root/current.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, false)
     val out = fs.create(tmp, true)
     try out.write(batchId.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(currentPath)) fs.delete(currentPath, false)
-    if (!fs.rename(tmp, currentPath))
-      throw new IllegalStateException(s"publish: rename failed for $batchId")
+    val fc = FileContext.getFileContext(
+      currentPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, currentPath, Options.Rename.OVERWRITE)
   }
 
   def writeParquet(df: DataFrame, path: String): Unit =
@@ -77,11 +109,12 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
   }
 
   /** Drop all but the newest `keep` version directories (batchIds sort
-    * chronologically). keep >= 2 leaves the previous version for readers
-    * that resolved `current` just before a publish — the snapshot-GC
-    * discipline Iceberg's expire_snapshots provides in production.
-    * Reference analog: processed batch files are deleted after success
-    * (destinationManager.js:228-229).
+    * chronologically), then delete segment directories no surviving
+    * manifest references. keep >= 2 leaves the previous version for
+    * readers that resolved `current` just before a publish — the
+    * snapshot-GC discipline Iceberg's expire_snapshots provides in
+    * production. Reference analog: processed batch files are deleted
+    * after success (destinationManager.js:228-229).
     */
   def gcVersions(keep: Int = 2): Unit = {
     val rootPath = new Path(root)
@@ -91,6 +124,47 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
       .map(_.getPath.getName.stripPrefix("v="))
       .sorted
     versions.dropRight(keep).foreach(v => deleteDir(versionDir(v)))
+    val kept = versions.takeRight(keep)
+    val referenced = kept.flatMap(v => readManifest(v)._1).toSet
+    val segRoot = new Path(s"$root/segments")
+    if (fs.exists(segRoot))
+      fs.listStatus(segRoot).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(referenced)
+        .foreach(s => deleteDir(segmentDir(s)))
+  }
+
+  /** Single-flight job guard (reference: areAnyJobsFromSourceRunning,
+    * lib/sync/utils/jobs.js:1-7 — the server refuses to start a sync while
+    * one runs). Acquire = atomic create of root/lock (create(path,
+    * overwrite=false) fails if present). A lock older than `staleMs` is
+    * considered abandoned (crashed driver) and broken. Returns the release
+    * function.
+    */
+  def acquireLock(owner: String, staleMs: Long = 30 * 60 * 1000L): () => Unit = {
+    val lock = new Path(s"$root/lock")
+    fs.mkdirs(new Path(root))
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      if (age > staleMs) fs.delete(lock, false)
+      else {
+        val holder = readSmallFile(s"$root/lock").getOrElse("?")
+        throw new IllegalStateException(
+          s"another job is running against $root (lock held by $holder, " +
+            s"age ${age}ms) — refusing, like the reference's " +
+            "areAnyJobsFromSourceRunning guard")
+      }
+    }
+    val out =
+      try fs.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another job is running against $root (lost the lock race)")
+      }
+    try out.write(s"$owner@${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    () => if (fs.exists(lock)) fs.delete(lock, false)
   }
 
   def writeSmallFile(path: String, content: String): Unit = {
@@ -125,4 +199,17 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
     if (!fs.rename(s, d))
       throw new IllegalStateException(s"moveDir: rename $src -> $dst failed")
   }
+
+  /** Total bytes under a path — used by tests asserting the O(delta)
+    * write property of incremental syncs.
+    */
+  def dirBytes(path: String): Long = {
+    val p = new Path(path)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+}
+
+object TableIO {
+  private val ManifestSegsRe = """"segments":\[([^\]]*)\]""".r
+  private val ManifestTombsRe = """"tombstones":(\d+)""".r
 }

@@ -4,7 +4,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.PageRow
-import graft.index.Merge
 import graft.sources.TableIO
 
 /** Purge — remove index entries whose source row disappeared.
@@ -17,7 +16,10 @@ import graft.sources.TableIO
   *
   * Spark shape: one `left_anti` join of the docs table's keys against the
   * source's key-only projection (column pruning = the `$select` analog),
-  * then a tombstone merge that drops the purged docIds from postings.
+  * then an O(delta) tombstone append — no posting block is rewritten; the
+  * dead docIds drop out of queries immediately and out of the data at the
+  * next compaction (like Solr deleteByQuery marking docs dead until a
+  * Lucene segment merge, solr.js:169-185).
   */
 object PurgeJob {
 
@@ -58,11 +60,10 @@ object PurgeJob {
             "(reference semantics: destinationManager.js:361-366)")
       }
       if (!cp.isDone(batchId, Process, resource, "merge")) {
-        val merged = Merge.merge(spark, Some(current),
-          spark.emptyDataset[graft.DocRow],
-          spark.emptyDataset[graft.Posting],
-          toPurge, batchId)
-        Tables.writeVersion(spark, io, merged, batchId)
+        if (current.segments.size >= Tables.compactThreshold)
+          Tables.compactVersion(spark, io, current, batchId, None, toPurge)
+        else
+          Tables.appendVersion(spark, io, current, batchId, None, toPurge)
         cp.markDone(batchId, Process, resource, "merge")
       }
       if (!cp.isDone(batchId, Process, resource, "publish")) {
@@ -70,6 +71,7 @@ object PurgeJob {
         Metrics.append(io, Metrics.driverRow(spark, batchId, Process, nPurge,
           System.currentTimeMillis() - t0, "success"))
         cp.markDone(batchId, Process, resource, "publish")
+        io.gcVersions()
       }
       Result(batchId, nPurge, System.currentTimeMillis() - t0)
     } finally toPurge.unpersist()

@@ -3,8 +3,8 @@ package graft.sync
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{DocRow, PageRow, Posting}
-import graft.index.{Merge, SegmentBuilder}
+import graft.PageRow
+import graft.index.SegmentBuilder
 import graft.sources.TableIO
 
 /** Incremental index sync — the doSync path re-expressed as one Spark DAG
@@ -19,7 +19,8 @@ import graft.sources.TableIO
   *              `>=` when the watermark is epoch-0, downloader.js:185-192
   *              getOp) → extract+tokenize → staged analyzed parquet
   *   segment  — docId collision check → delta docs + posting blocks staged
-  *   merge    — Merge.merge into v=<batchId> tables
+  *   merge    — LSM step: adopt the delta as a new segment + tombstones
+  *              (O(delta)); every compactThreshold batches, compact
   *   publish  — atomic `current` flip + metrics append + staging cleanup
   *              (the reference deletes processed batch files,
   *              destinationManager.js:228-229)
@@ -106,21 +107,22 @@ object SyncJob {
     // ---- merge -------------------------------------------------------
     if (!cp.isDone(batchId, process, resource, "merge")) timed(batchId, "merge") {
       val old = Tables.loadCurrent(spark, io)
-      if (old.isEmpty && purged.isEmpty) {
-        // initial build: the staged segment (already (term,bucket)-
-        // partitioned, sorted, encoded) IS the index — adopt the staged
-        // dirs by rename (O(1), no re-read) and derive dict/stats
-        io.moveDir(docsDir, s"${io.versionDir(batchId)}/docs")
-        io.moveDir(blocksDir, s"${io.versionDir(batchId)}/index")
-        Tables.deriveDictStats(spark, io, batchId)
-      } else {
-        val deltaDocs = io.readParquet(docsDir).as[DocRow]
-        val stagedBlocks = io.readParquet(blocksDir).as[graft.IndexBlock]
-        val purgedDs = purged.getOrElse(spark.emptyDataset[Long])
-        val merged = Merge.merge(spark, old, deltaDocs,
-          stagedBlocks.flatMap(SegmentBuilder.decodeBlock _),
-          purgedDs, batchId)
-        Tables.writeVersion(spark, io, merged, batchId)
+      val staged = Some((docsDir, blocksDir, analyzedDir))
+      val purgedDs = purged.getOrElse(spark.emptyDataset[Long])
+      old match {
+        case None =>
+          // initial build: the staged segment (already (term,bucket)-
+          // partitioned, sorted, encoded) IS the index — adopt the staged
+          // dirs by rename (O(1), no re-read) and derive dict/stats
+          Tables.writeInitial(spark, io, batchId, docsDir, blocksDir,
+            analyzedDir)
+        case Some(o) if o.segments.size >= Tables.compactThreshold =>
+          // every compactThreshold batches: fold segments into one
+          // (amortized O(index/threshold) merge I/O per batch)
+          Tables.compactVersion(spark, io, o, batchId, staged, purgedDs)
+        case Some(o) =>
+          // steady state: O(delta) segment append + tombstones
+          Tables.appendVersion(spark, io, o, batchId, staged, purgedDs)
       }
       cp.markDone(batchId, process, resource, "merge")
     }
@@ -132,12 +134,14 @@ object SyncJob {
       .map(_.trim.toLong)
       .orElse(if (io.exists(docsDir)) Some(io.readParquet(docsDir).count())
               else None)
-      // staged docs were adopted into the version dir (initial build)
-      .getOrElse(io.readParquet(s"${io.versionDir(batchId)}/docs").count())
+      // staged docs were adopted into the batch's segment dir
+      .getOrElse(io.readParquet(s"${io.segmentDir(batchId)}/docs").count())
     timed(batchId, "publish") {
       io.publish(batchId)
       val millis = System.currentTimeMillis() - t0
-      val blocks = io.readParquet(s"${io.versionDir(batchId)}/index")
+      // lineage rides on the batch's own segment — O(delta), the rest of
+      // the index is untouched by this batch
+      val blocks = io.readParquet(s"${io.segmentDir(batchId)}/index")
         .as[graft.IndexBlock]
       val p = spark.sessionState.conf.numShufflePartitions
       Metrics.append(io,

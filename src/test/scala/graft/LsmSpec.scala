@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+import graft.corpus.Corpus
+import graft.oracle.NaiveIndex
+import graft.query.IndexReader
+import graft.sources.TableIO
+import graft.sync.{Checkpoint, PurgeJob, SyncJob}
+
+/** LSM storage-layer guarantees: incremental syncs write O(delta) bytes
+  * (the scale property the reference gets from Solr/Lucene segment adds —
+  * a 1% delta must not rewrite the index), purges write no segment data,
+  * re-adds resurrect purged docs, and compaction folds the manifest back
+  * to one segment without changing any answer.
+  */
+class LsmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+
+  test("incremental sync writes O(delta) bytes, never O(index)") {
+    val root = tmpDir("graft-odelta")
+    val io = new TableIO(spark, root)
+    val N = 8000L
+    SyncJob.run(spark, io, Corpus.pages(spark, N, 8), ts(N))
+    val baseBytes = io.dirBytes(s"$root/segments")
+    val baseSeg = io.readManifest(io.currentVersion().get)._1.head
+
+    // +1% new docs: the delta segment + version metadata are the ONLY new
+    // bytes; existing segment files are adopted by reference, not copied
+    val delta = N / 100
+    val b2 = ts(N + delta)
+    SyncJob.run(spark, io, Corpus.pages(spark, N + delta, 8), b2)
+    val batchId = Checkpoint.toBatchId(b2)
+    val newSegBytes = io.dirBytes(io.segmentDir(batchId))
+    val verBytes = io.dirBytes(io.versionDir(batchId))
+    assert(newSegBytes + verBytes < baseBytes / 5,
+      s"incremental sync wrote ${newSegBytes + verBytes} bytes vs " +
+        s"$baseBytes base — not O(delta)")
+    // the base segment is shared between versions, byte-identical
+    assert(io.dirBytes(io.segmentDir(baseSeg)) > 0)
+    val (segs, _) = io.readManifest(io.currentVersion().get)
+    assert(segs.contains(baseSeg) && segs.contains(batchId))
+
+    // and the result is still exact
+    val rows = Corpus.localRows((N + delta).toInt)
+    val oracle = new NaiveIndex(rows)
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == oracle.n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    val got = reader.topK("spark stream", 10).map(h => (h.docId, h.score)).toSeq
+    val want = oracle.topK("spark stream", 10).map(h => (h.docId, h.score)).toSeq
+    assert(got == want)
+  }
+
+  test("purge appends tombstones only — no segment rewrite, no new segment") {
+    val root = tmpDir("graft-purge-odelta")
+    val io = new TableIO(spark, root)
+    val N = 2000L
+    SyncJob.run(spark, io, Corpus.pages(spark, N, 4), ts(N))
+    val segsBefore = io.readManifest(io.currentVersion().get)._1
+    val segBytesBefore = io.dirBytes(s"$root/segments")
+
+    val keep = Corpus.localRows(N.toInt).filterNot(_.url.endsWith("7"))
+    val r = PurgeJob.run(spark, io, spark.createDataset(keep), ts(3 * N))
+    assert(r.purged == 200)
+
+    val ver = io.currentVersion().get
+    val (segsAfter, tombCount) = io.readManifest(ver)
+    assert(segsAfter == segsBefore, "purge must not add or drop segments")
+    assert(tombCount == 200)
+    assert(io.dirBytes(s"$root/segments") == segBytesBefore,
+      "purge rewrote segment data")
+
+    val oracle = new NaiveIndex(keep)
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == oracle.n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    val got = reader.topK("document", 10).map(h => (h.docId, h.score)).toSeq
+    assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+  }
+
+  test("re-add after purge resurrects the doc (tombstone override)") {
+    val root = tmpDir("graft-readd")
+    val io = new TableIO(spark, root)
+    val N = 500L
+    val rows = Corpus.localRows(N.toInt)
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+
+    // purge doc #7, then re-add it with a fresh timestamp
+    val dropped = rows.filterNot(_.url == Corpus.url(7L))
+    PurgeJob.run(spark, io, spark.createDataset(dropped), ts(N + 1))
+    assert(new IndexReader(spark, root).stats.n == N - 1)
+
+    val readd = rows.map(p =>
+      if (p.url == Corpus.url(7L))
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(10 * N))) else p)
+    SyncJob.run(spark, io, spark.createDataset(readd), ts(10 * N))
+
+    val oracle = new NaiveIndex(readd)
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == N)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    val doc7 = graft.index.DocIds.docId(Corpus.url(7L))
+    assert(reader.docs.filter($"docId" === doc7).count() == 1)
+    val got = reader.topK("document", 20).map(h => (h.docId, h.score)).toSeq
+    assert(got == oracle.topK("document", 20).map(h => (h.docId, h.score)).toSeq)
+  }
+
+  test("compaction folds the manifest to one segment, answers unchanged") {
+    val prev = sys.props.get("graft.compact.segments")
+    sys.props("graft.compact.segments") = "3"
+    try {
+      val root = tmpDir("graft-compact")
+      val io = new TableIO(spark, root)
+      val N = 600L
+      // three appends → threshold hit on the fourth sync
+      SyncJob.run(spark, io, Corpus.pages(spark, N, 4), ts(N))
+      SyncJob.run(spark, io, Corpus.pages(spark, N + 50, 4), ts(N + 50))
+      SyncJob.run(spark, io, Corpus.pages(spark, N + 100, 4), ts(N + 100))
+      assert(io.readManifest(io.currentVersion().get)._1.size == 3)
+
+      val b4 = ts(N + 150)
+      SyncJob.run(spark, io, Corpus.pages(spark, N + 150, 4), b4)
+      val (segs, tombs) = io.readManifest(io.currentVersion().get)
+      assert(segs == Seq(Checkpoint.toBatchId(b4)), s"expected 1 segment, got $segs")
+      assert(tombs == 0)
+
+      val oracle = new NaiveIndex(Corpus.localRows((N + 150).toInt))
+      val reader = new IndexReader(spark, root)
+      assert(reader.stats.n == oracle.n)
+      assert(reader.stats.avgdl == oracle.avgdl)
+      Seq("spark stream", "document", "rare07").foreach { q =>
+        val got = reader.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+        assert(got == oracle.topK(q, 10).map(h => (h.docId, h.score)).toSeq,
+          s"post-compaction divergence on '$q'")
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.compact.segments") = v
+        case None => sys.props.remove("graft.compact.segments")
+      }
+    }
+  }
+
+  test("single-flight: a held lock refuses a second job, stale locks break") {
+    val root = tmpDir("graft-lock")
+    val io = new TableIO(spark, root)
+    val release = io.acquireLock("job-a")
+    intercept[IllegalStateException] { io.acquireLock("job-b") }
+    release()
+    val release2 = io.acquireLock("job-c")
+    release2()
+  }
+}
