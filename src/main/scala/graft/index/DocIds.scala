@@ -10,9 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * column function computes, so url→docId needs no lookup table: purge and
   * reconcile can map keys to docIds on either side of a join without a
   * shuffle against the docs table. Rank-stability across re-runs is free
-  * (pure function of url); collisions are checked at build time
-  * (SegmentBuilder fails the batch on a docId with >1 distinct url —
-  * at 10^12 docs production would widen to (hash, url) keyed postings).
+  * (pure function of url); collisions are checked exactly: per-batch
+  * within the delta (SegmentBuilder.checkCollisions), delta-vs-live
+  * across batches (Tables.appendVersion joins delta urls against the
+  * killed docs' urls), and whole-index at every compaction — at 10^12
+  * docs production would widen to (hash, url) keyed postings.
   *
   * bucket = top `bucketBits` bits of the unsigned docId. Within one bucket
   * all docIds share their high bits, so signed ascending order == unsigned

@@ -186,6 +186,7 @@ object Merge extends Serializable {
     import spark.implicits._
     val dict = index.groupBy($"term")
       .agg(sum($"count").as("df"), sum($"tfSum").as("cf"))
+      .withColumn("files", typedLit(Seq.empty[String])) // in-plan: no files
       .as[DictRow]
     val row = docs.agg(count(lit(1)), sum($"doclen")).head()
     val n = row.getLong(0)

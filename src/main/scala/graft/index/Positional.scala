@@ -130,8 +130,31 @@ object Positional extends Serializable {
     out
   }
 
-  def build(spark: SparkSession, pages: Dataset[PageRow], dir: String): Unit = {
+  /** Build the positional index; `builtFrom` stamps the main-index version
+    * it was derived from, so query time can detect a stale posindex (the
+    * main index is maintained by sync/purge, this table is not — unlike
+    * the reference, where deletes propagate to the Solr core directly).
+    */
+  def build(spark: SparkSession, pages: Dataset[PageRow], dir: String,
+            builtFrom: Option[String] = None): Unit = {
     val blocks = buildBlocks(toPositionalPostings(pages))
     blocks.toDF().write.mode("overwrite").parquet(dir)
+    builtFrom.foreach { v =>
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_built_from"), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The main-index version a posindex dir was built from, if stamped. */
+  def builtFrom(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_built_from")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
   }
 }

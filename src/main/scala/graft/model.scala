@@ -61,8 +61,15 @@ case class IndexBlock(
     dlsVB: Array[Byte],
     batch_id: String)
 
-/** Term dictionary row (df = #docs containing term, cf = Σ tf). */
-case class DictRow(term: String, df: Long, cf: Long)
+/** Term dictionary row (df = #docs containing term, cf = Σ tf). `files`
+  * are the index parquet files holding the term's blocks — the dict is a
+  * block-pointer directory, so a query opens only its terms' files
+  * instead of relying on row-group min/max pruning over every index file
+  * (df stays exact under churn: appends add the delta's contribution and
+  * subtract the killed docs').
+  */
+case class DictRow(term: String, df: Long, cf: Long,
+                   files: Seq[String] = Seq.empty)
 
 /** Global corpus statistics. `sumDl` is carried so incremental syncs can
   * maintain `avgdl = sumDl / n` with exact integer arithmetic (a float

@@ -104,7 +104,7 @@ object Media {
     val base = if (partitions > 0) spark.range(0, n, 1, partitions)
                else spark.range(n)
     base.map { i =>
-      val kind = Seq("image", "audio", "video")(((i % 3) + 3 % 3).toInt)
+      val kind = Seq("image", "audio", "video")((i % 3).toInt)
       val w = 64 + (graft.corpus.Corpus.mix(i) & 0x3F).toInt
       val h = 64 + (graft.corpus.Corpus.mix(i * 7) & 0x3F).toInt
       val frames = 1 + (graft.corpus.Corpus.mix(i * 13) & 0x0F).toInt

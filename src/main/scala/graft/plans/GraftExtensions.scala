@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, ExtractText, TermStats}
+import graft.functions.{CosineSim, ExtractText, LshBits, TermStats}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * Catalyst expressions as SQL functions so any SQL-surface user can call
@@ -39,7 +39,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => TermStats(es.head)),
     ("cosine_sim",
       info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float vectors"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("lsh_bits",
+      info("lsh_bits", "_FUNC_(v) - 8-hyperplane sign-LSH bucket of a float vector"),
+      (es: Seq[Expression]) => LshBits(es.head)))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -75,32 +75,44 @@ class IndexReader(spark: SparkSession, root: String) {
     */
   val LocalEvalMaxBlocks = 2048
 
-  /** Exact BM25 top-k hits, rank-deterministic (score desc, docId asc). */
+  /** Exact BM25 top-k hits, rank-deterministic (score desc, docId asc).
+    *
+    * Job shape: (1) dict probe — a tiny pruned scan collecting ≤ |q| rows:
+    * exact live df per term AND the block-pointer file lists, so (2) the
+    * block scan opens ONLY the parquet files containing the query terms
+    * (row-group min/max pruning still applies inside them), and (3) small
+    * posting sets run WAND on the driver while stopword-scale ones fan
+    * out per bucket, moving only the terms' compressed blocks.
+    */
   def topK(q: String, k: Int, useWand: Boolean = true): Array[Hit] = {
     val terms = Bm25.queryTerms(q)
     if (terms.isEmpty || k <= 0) return Array.empty
     val n = stats.n
     val avgdl = stats.avgdl
 
-    // exact df per term: block metadata when no tombstones, dict otherwise
-    // (block counts include dead postings)
-    def dictDf(): Map[String, Long] = dict
+    // 1. dict probe: exact df (maintained under churn) + file pointers
+    val dictRows = dict
       .filter($"term".isin(terms.toSeq: _*))
-      .select($"term", $"df")
-      .as[(String, Long)].collect().toMap
+      .select($"term", $"df", $"files")
+      .collect()
+    if (dictRows.isEmpty) return Array.empty
+    val dfMap = dictRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val termFiles = dictRows.flatMap(_.getSeq[String](2)).distinct
 
-    val filtered = index.filter($"term".isin(terms.toSeq: _*))
-    // probe fetch: limit+1 tells us whether the local path has everything
+    // 2. targeted block scan: only the terms' files (fall back to the
+    // full segment union if the dict carries no pointers)
+    val filtered =
+      (if (termFiles.nonEmpty)
+        spark.read.parquet(termFiles.toSeq: _*).as[IndexBlock]
+      else index)
+        .filter($"term".isin(terms.toSeq: _*))
+
+    // 3. probe fetch: limit+1 tells us whether the local path has everything
     val probe = filtered.limit(LocalEvalMaxBlocks + 1).collect()
     val candidates: Array[Hit] =
       if (probe.length <= LocalEvalMaxBlocks) {
         if (probe.isEmpty) return Array.empty
-        val dfMap =
-          if (dead.isEmpty)
-            probe.groupBy(_.term)
-              .map { case (t, bs) => t -> bs.map(_.count.toLong).sum }
-          else dictDf()
-        val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
         probe.groupBy(_.bucket).toSeq
           .flatMap { g =>
             val byTerm = g._2.groupBy(_.term).toSeq
@@ -109,11 +121,8 @@ class IndexReader(spark: SparkSession, root: String) {
           }
           .toArray
       } else {
-        // big posting set: dict probe for exact df, then per-bucket WAND
-        // moving only the query terms' compressed blocks
-        val dfMap = dictDf()
-        if (dfMap.isEmpty) return Array.empty
-        val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+        // stopword-scale posting set: per-bucket WAND, moving only the
+        // query terms' compressed blocks
         val bIdf = spark.sparkContext.broadcast(idf)
         val bDead = spark.sparkContext.broadcast(dead)
         filtered
@@ -130,6 +139,16 @@ class IndexReader(spark: SparkSession, root: String) {
     candidates
       .sortBy(h => (-h.score, h.docId))
       .take(k)
+  }
+
+  /** Index parquet files the dict points at for these query terms — the
+    * scan cost surface (PlanSpec asserts it stays ≪ the file total).
+    */
+  def filesForQuery(q: String): Seq[String] = {
+    val terms = Bm25.queryTerms(q)
+    if (terms.isEmpty) return Seq.empty
+    dict.filter($"term".isin(terms.toSeq: _*))
+      .select($"files").collect().flatMap(_.getSeq[String](0)).distinct.toSeq
   }
 
   /** Top-k joined back to document metadata, with ranks. */

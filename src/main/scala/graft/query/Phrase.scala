@@ -72,7 +72,15 @@ object Phrase {
     }
   }
 
-  /** Exact phrase top-k against a positional index parquet dir. */
+  /** Exact phrase top-k against a positional index parquet dir.
+    *
+    * Fully distributed — a frequent phrase ("of the") may match an
+    * unbounded share of the corpus, so matches are never collected:
+    * pass 1 counts them (df for the phrase-as-term idf), pass 2 runs a
+    * bounded top-k heap per docId bucket over the persisted match set,
+    * and only numBuckets·k candidates reach the driver for the final
+    * (score desc, docId asc) head.
+    */
   def topK(spark: SparkSession, posIndexDir: String, phrase: String, k: Int,
            n: Long, avgdl: Double): Array[Hit] = {
     import spark.implicits._
@@ -86,13 +94,24 @@ object Phrase {
         val byTerm = bs.toArray.groupBy(_.term).toSeq
         matchesInBucket(byTerm, terms)
       }
-      .collect()
-    if (matches.isEmpty) return Array.empty
-    // phrase-as-term BM25: df = matching docs (global), deterministic sum
-    val df = matches.length.toLong
-    val idf = Bm25.idf(n, df)
-    matches.map(m => Hit(m.docId, Bm25.termScore(idf, m.phraseTf, m.dl, avgdl)))
-      .sortBy(h => (-h.score, h.docId))
-      .take(k)
+      .persist()
+    try {
+      val df = matches.count() // distributed — the phrase's global df
+      if (df == 0) return Array.empty
+      val idf = Bm25.idf(n, df)
+      val candidates = matches
+        .groupByKey(m => graft.index.DocIds.bucket(m.docId))
+        .flatMapGroups { (_, ms) =>
+          val topk = new Wand.TopK(k)
+          // ascending docId feed keeps the deterministic tie discipline
+          ms.toArray.sortBy(_.docId).foreach(m =>
+            topk.insert(m.docId, Bm25.termScore(idf, m.phraseTf, m.dl, avgdl)))
+          topk.result().iterator
+        }
+        .collect()
+      candidates
+        .sortBy(h => (-h.score, h.docId))
+        .take(k)
+    } finally matches.unpersist()
   }
 }

@@ -30,15 +30,31 @@ class Checkpoint(spark: SparkSession, io: TableIO) {
 
   private def readLog(): Seq[(String, String, String, String)] = {
     val dir = new Path(io.checkpointsDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+    if (!fs.exists(dir)) return Seq.empty
+    val files = fs.listStatus(dir).toSeq.filter(_.isFile)
+    val entries = files.flatMap { st =>
       val in = fs.open(st.getPath)
       val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val m = Checkpoint.LineRe.findFirstMatchIn(content).getOrElse(
-        throw new IllegalStateException(
-          s"corrupt checkpoint file ${st.getPath}"))
-      (m.group(1), m.group(2), m.group(3), m.group(4))
+      val ms = Checkpoint.LineRe.findAllMatchIn(content).toSeq
+      if (ms.isEmpty)
+        throw new IllegalStateException(s"corrupt checkpoint file ${st.getPath}")
+      ms.map(m => (m.group(1), m.group(2), m.group(3), m.group(4)))
     }
+    // log compaction: one file per markDone means O(total-batches-ever)
+    // driver FS ops per startup — roll the log into a single multi-line
+    // file once it sprawls (write-combined-then-delete is crash-safe:
+    // a duplicate entry is a harmless set-union member). Safe under the
+    // single-flight lock: one driver owns the root.
+    if (files.size > Checkpoint.CompactAt) {
+      val lines = entries.map { case (b, p, r, s) =>
+        s"""{"batch_id":"$b","process":"$p","resource":"$r","stage":"$s","done":true}"""
+      }.mkString("", "\n", "\n")
+      val name = s"cp-${System.currentTimeMillis()}-compacted.json"
+      val out = fs.create(new Path(dir, name), false)
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+      files.foreach(st => fs.delete(st.getPath, false))
+    }
+    entries
   }
 
   /** In-memory snapshot of done flags, loaded once per run; markDone
@@ -75,6 +91,9 @@ class Checkpoint(spark: SparkSession, io: TableIO) {
 }
 
 object Checkpoint {
+  /** File count that triggers a log roll-up at the next load. */
+  val CompactAt = 256
+
   private[sync] val LineRe =
     """\{"batch_id":"([^"]+)","process":"([^"]+)","resource":"([^"]+)","stage":"([^"]+)","done":true""".r
 

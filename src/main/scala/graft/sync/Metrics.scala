@@ -57,4 +57,54 @@ object Metrics {
 
   def append(io: TableIO, df: DataFrame): Unit =
     io.appendParquet(df, io.metricsDir)
+
+  /** An error that is already in the metrics ledger — the budget wrapper
+    * must not double-record it.
+    */
+  class RecordedError(msg: String) extends IllegalStateException(msg)
+
+  /** Per-batch error budget (reference: 3 strikes then the batch is
+    * refused, destinationManager.js:30, 185-188). Failures land in the
+    * metrics ledger as result='error' rows; once a batch has MaxErrors of
+    * them, further attempts refuse outright instead of burning cluster
+    * time on a poisoned batch.
+    */
+  val MaxErrors = 3
+
+  def errorCount(spark: SparkSession, io: TableIO, batchId: String,
+                 process: String): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!io.exists(io.metricsDir)) 0L
+    else io.readParquet(io.metricsDir)
+      .filter(col("batch_id") === batchId && col("process") === process &&
+        col("result") === "error")
+      .count()
+  }
+
+  def checkBudget(spark: SparkSession, io: TableIO, batchId: String,
+                  process: String): Unit = {
+    val n = errorCount(spark, io, batchId, process)
+    if (n >= MaxErrors)
+      throw new IllegalStateException(
+        s"$process batch $batchId refused: $n recorded failures >= " +
+          s"$MaxErrors (reference 3-strikes rule, " +
+          "destinationManager.js:185-188)")
+  }
+
+  /** Run a job body under the error budget: refuse if the batch already
+    * burned its strikes, record any new failure as a result='error' row.
+    */
+  def withBudget[A](spark: SparkSession, io: TableIO, batchId: String,
+                    process: String, t0: Long)(body: => A): A = {
+    checkBudget(spark, io, batchId, process)
+    try body
+    catch {
+      case e: RecordedError => throw e
+      case e: Exception =>
+        append(io, driverRow(spark, batchId, process, 0L,
+          System.currentTimeMillis() - t0, "error",
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+        throw e
+    }
+  }
 }

@@ -40,6 +40,16 @@ object PurgeJob {
     if (cp.isDone(batchId, Process, resource, "publish"))
       return Result(batchId, 0L, 0L)
 
+    val release = io.acquireLock(s"purge:$batchId")
+    try Metrics.withBudget(spark, io, batchId, Process, t0) {
+      runLocked(spark, io, cp, pages, batchId, maxPurge, resource, t0)
+    } finally release()
+  }
+
+  private def runLocked(spark: SparkSession, io: TableIO, cp: Checkpoint,
+                        pages: Dataset[PageRow], batchId: String,
+                        maxPurge: Long, resource: String, t0: Long): Result = {
+    import spark.implicits._
     val current = Tables.loadCurrent(spark, io).getOrElse(
       throw new IllegalStateException("purge: no published index"))
 
@@ -55,7 +65,7 @@ object PurgeJob {
         Metrics.append(io, Metrics.driverRow(spark, batchId, Process, nPurge,
           System.currentTimeMillis() - t0, "error",
           s"purge count $nPurge exceeds cap $maxPurge"))
-        throw new IllegalStateException(
+        throw new Metrics.RecordedError(
           s"purge: $nPurge ids exceed safety cap $maxPurge — refusing " +
             "(reference semantics: destinationManager.js:361-366)")
       }

@@ -41,6 +41,16 @@ object ReconcileJob {
     if (cp.isDone(batchId, Process, resource, "publish"))
       return Result(batchId, 0L, 0L)
 
+    val release = io.acquireLock(s"reconcile:$batchId")
+    try Metrics.withBudget(spark, io, batchId, Process, t0) {
+      runLocked(spark, io, cp, pages, batchId, resource, t0)
+    } finally release()
+  }
+
+  private def runLocked(spark: SparkSession, io: TableIO, cp: Checkpoint,
+                        pages: Dataset[PageRow], batchId: String,
+                        resource: String, t0: Long): Result = {
+    import spark.implicits._
     val analyzedDir = io.stagingDir(batchId, "analyzed")
     if (!cp.isDone(batchId, Process, resource, "analyze")) {
       val current = Tables.loadCurrent(spark, io)

@@ -56,22 +56,142 @@ object SyncJob {
     if (cp.isDone(batchId, Process, resource, "publish"))
       return Result(batchId, 0L, 0L)
 
+    // single-flight guard: two drivers racing one root would corrupt
+    // `current` (reference: areAnyJobsFromSourceRunning, jobs.js:1-7);
+    // error budget: a batch with 3 recorded failures is refused
+    val release = io.acquireLock(s"sync:$batchId")
+    try Metrics.withBudget(spark, io, batchId, Process, t0) {
+      runLocked(spark, io, cp, pages, batchTs, batchId, resource, t0)
+    } finally release()
+  }
+
+  private def runLocked(spark: SparkSession, io: TableIO, cp: Checkpoint,
+                        pages: Dataset[PageRow], batchTs: Timestamp,
+                        batchId: String, resource: String,
+                        t0: Long): Result = {
+    import spark.implicits._
+
     // ---- analyze ----------------------------------------------------
     val analyzedDir = io.stagingDir(batchId, "analyzed")
     if (!cp.isDone(batchId, Process, resource, "analyze")) timed(batchId, "analyze") {
-      val lo = Tables.loadCurrent(spark, io)
-        .map(t => t.docs.agg(max($"warc_ts")).head())
-        .flatMap(r => Option(r.getTimestamp(0)))
-        .getOrElse(Epoch0)
       // closed interval (lo, batchTs]; `>=` when starting from epoch-0
-      val loPred =
-        if (lo.getTime == 0L) $"warc_ts" >= lit(lo) else $"warc_ts" > lit(lo)
-      val delta = pages.filter(loPred && $"warc_ts" <= lit(batchTs))
+      val pred = Watermark.predicate(
+        Map("warc_ts" -> primaryLo(spark, io)), batchTs, Seq("warc_ts"))
+      val delta = pages.filter(pred)
       io.writeParquet(SegmentBuilder.analyze(delta).toDF(), analyzedDir)
       cp.markDone(batchId, Process, resource, "analyze")
     }
 
     runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
+  }
+
+  case class BatchResult(batchId: String, perResource: Map[String, Long])
+
+  /** Multi-resource batch: one batch syncs a LIST of resources, each into
+    * its own index root (`root/resources/<name>` — the reference gives
+    * each resource its own table / Solr core), with per-resource done
+    * flags in the shared top-level checkpoint so a killed batch resumes
+    * at the first unfinished resource (downloader.js:93-106 per-resource
+    * processing). Changing the configured resource list mid-batch is an
+    * error, mirroring filterMlsResourcesFromBatch's throw.
+    */
+  def runBatch(spark: SparkSession, io: TableIO,
+               resources: Seq[(String, Dataset[PageRow])],
+               batchTs: Timestamp): BatchResult = {
+    val batchId = Checkpoint.toBatchId(batchTs)
+    val cp = new Checkpoint(spark, io)
+    val names = resources.map(_._1)
+    val listFile = s"${io.root}/staging/$batchId/resources"
+    io.readSmallFile(listFile) match {
+      case Some(prev) if prev.trim != names.mkString(",") =>
+        throw new IllegalStateException(
+          s"resource list changed mid-batch $batchId: batch started with " +
+            s"[${prev.trim}], now [${names.mkString(",")}] — refusing " +
+            "(reference: filterMlsResourcesFromBatch, downloader.js:93-106)")
+      case None => io.writeSmallFile(listFile, names.mkString(","))
+      case _ =>
+    }
+    val counts = resources.map { case (name, pages) =>
+      if (cp.isDone(batchId, "sync-batch", name, "done")) name -> 0L
+      else {
+        val sub = new TableIO(spark, s"${io.root}/resources/$name")
+        val r = run(spark, sub, pages, batchTs, name)
+        cp.markDone(batchId, "sync-batch", name, "done")
+        name -> r.deltaRows
+      }
+    }.toMap
+    io.deleteDir(s"${io.root}/staging/$batchId")
+    BatchResult(batchId, counts)
+  }
+
+  /** The primary watermark: max indexed warc_ts over live docs. */
+  private def primaryLo(spark: SparkSession, io: TableIO): Timestamp = {
+    import spark.implicits._
+    Tables.loadCurrent(spark, io)
+      .map(t => t.docs.agg(max($"warc_ts")).head())
+      .flatMap(r => Option(r.getTimestamp(0)))
+      .getOrElse(Epoch0)
+  }
+
+  /** Sync from a raw frame carrying EXTRA nullable update-timestamp
+    * columns (reference P3 full semantics: a record is due when any
+    * timestamp field advanced — e.g. a photo-set change without a record
+    * change, downloader.js:194-243). `tsCols.head` must be "warc_ts";
+    * secondary columns' watermarks persist in root/watermarks and advance
+    * at publish. The frame must also carry the PageRow columns.
+    */
+  def runMultiTs(spark: SparkSession, io: TableIO,
+                 raw: org.apache.spark.sql.DataFrame, tsCols: Seq[String],
+                 batchTs: Timestamp, resource: String = "pages"): Result = {
+    import spark.implicits._
+    require(tsCols.headOption.contains("warc_ts"),
+      "tsCols.head must be the primary warc_ts")
+    val t0 = System.currentTimeMillis()
+    val batchId = Checkpoint.toBatchId(batchTs)
+    val cp = new Checkpoint(spark, io)
+    if (cp.isDone(batchId, Process, resource, "publish"))
+      return Result(batchId, 0L, 0L)
+
+    val release = io.acquireLock(s"sync:$batchId")
+    try Metrics.withBudget(spark, io, batchId, Process, t0) {
+      val analyzedDir = io.stagingDir(batchId, "analyzed")
+      if (!cp.isDone(batchId, Process, resource, "analyze")) timed(batchId, "analyze") {
+        val los = Watermark.read(io) + ("warc_ts" -> primaryLo(spark, io))
+        val delta = raw.filter(Watermark.predicate(los, batchTs, tsCols))
+        // stash the secondary columns' new maxima for the publish step
+        // (the analyzed projection drops them)
+        val extras = tsCols.tail
+        if (extras.nonEmpty) {
+          val r = delta.agg(max(col(extras.head)),
+            extras.tail.map(c => max(col(c))): _*).head()
+          val maxes = extras.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.getTimestamp(i)).map(c -> _)
+          }
+          io.writeSmallFile(s"${io.root}/staging/$batchId/watermarks",
+            maxes.map { case (c, t) => s"$c=${t.getTime}" }.mkString("\n"))
+        }
+        val pageCols = Seq("url", "warc_ts", "html", "text", "lang")
+        io.writeParquet(
+          SegmentBuilder.analyze(
+            delta.select(pageCols.map(col): _*).as[PageRow]).toDF(),
+          analyzedDir)
+        cp.markDone(batchId, Process, resource, "analyze")
+      }
+      val stagedMaxes = io.readSmallFile(s"${io.root}/staging/$batchId/watermarks")
+      val r = runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
+      // promote the secondary watermarks after publish (idempotent: a
+      // crash before this line just re-selects some rows next batch)
+      stagedMaxes.foreach { content =>
+        val staged = content.linesIterator.filter(_.contains('=')).map { l =>
+          val Array(c, ms) = l.split("=", 2)
+          c -> new Timestamp(ms.trim.toLong)
+        }.toMap
+        val merged = (Watermark.read(io).toSeq ++ staged.toSeq)
+          .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).maxBy(_.getTime) }
+        Watermark.write(io, merged)
+      }
+      r
+    } finally release()
   }
 
   /** Shared tail (segment → merge → publish) — reconcile's "missing"

@@ -126,8 +126,10 @@ object Tables {
     val dir = io.versionDir(ver)
     val idx = spark.read
       .parquet(segments.map(s => s"${io.segmentDir(s)}/index"): _*)
+      .withColumn("f", input_file_name()) // project first: agg args must be deterministic
     io.writeParquet(
-      idx.groupBy($"term").agg(sum($"count").as("df"), sum($"tfSum").as("cf")),
+      idx.groupBy($"term").agg(sum($"count").as("df"), sum($"tfSum").as("cf"),
+        collect_set($"f").as("files")),
       s"$dir/dict")
     val row = spark.read
       .parquet(segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
@@ -209,17 +211,25 @@ object Tables {
       val killedN = kr.getLong(0)
       val killedDl = if (kr.isNullAt(1)) 0L else kr.getLong(1)
 
-      // dict: old ⊕ delta ⊖ killed, exact integer arithmetic
+      // dict: old ⊕ delta ⊖ killed, exact integer arithmetic. Block-
+      // pointer files union in the delta segment's files; dead postings
+      // stay physically inside old files until compaction, so the old
+      // pointers remain correct (a superset is fine for pruning).
       val dictAdd =
         if (!hasDelta)
-          spark.emptyDataset[(String, Long, Long)].toDF("term", "addDf", "addCf")
+          spark.emptyDataset[(String, Long, Long)]
+            .toDF("term", "addDf", "addCf")
+            .withColumn("addFiles", typedLit(Seq.empty[String]))
         else io.readParquet(s"$seg/index")
+          .withColumn("f", input_file_name())
           .groupBy($"term")
-          .agg(sum($"count").as("addDf"), sum($"tfSum").as("addCf"))
+          .agg(sum($"count").as("addDf"), sum($"tfSum").as("addCf"),
+            collect_set($"f").as("addFiles"))
       val dictSub = killed
         .select(explode($"tfs").as(Seq("term", "tf")))
         .groupBy($"term")
         .agg(count(lit(1)).as("subDf"), sum($"tf").as("subCf"))
+      val emptyArr = typedLit(Seq.empty[String])
       val newDict = old.dict.toDF()
         .join(dictAdd, Seq("term"), "full_outer")
         .join(dictSub, Seq("term"), "full_outer")
@@ -227,7 +237,9 @@ object Tables {
           (coalesce($"df", lit(0L)) + coalesce($"addDf", lit(0L)) -
             coalesce($"subDf", lit(0L))).as("df"),
           (coalesce($"cf", lit(0L)) + coalesce($"addCf", lit(0L)) -
-            coalesce($"subCf", lit(0L))).as("cf"))
+            coalesce($"subCf", lit(0L))).as("cf"),
+          array_union(coalesce($"files", emptyArr),
+            coalesce($"addFiles", emptyArr)).as("files"))
         .filter($"df" > 0)
       io.writeParquet(newDict, s"${io.versionDir(batchId)}/dict")
 

@@ -57,6 +57,28 @@ class ExpressionSpec extends SparkTestBase {
     assert(got(3L) == 0.0) // zero vector guard
   }
 
+  test("lsh_bits == the aggregate(zip_with(...)) lambda formulation") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(j => ((Corpus.mix(i * 31 + j) % 100) / 17.0f)))
+    }.toDF("id", "v")
+    val got = vecs
+      .select(col("id"), graft.functions.functions.lsh_bits(col("v")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // the SQL-lambda reference (what the DuckDB oracle computes)
+    val want = vecs
+      .select(col("id"), explode(expr("sequence(0, 7)")).as("j"))
+      .join(vecs, Seq("id"))
+      .select(col("id"), col("j"),
+        expr("aggregate(zip_with(v, sequence(0, size(v)-1), " +
+          "(x, i) -> cast(x as double) * (((i*31 + j*17) % 7) - 3)), " +
+          "0D, (a, x) -> a + x)").as("dot"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("dot") > 0,
+        pow(lit(2), col("j")).cast("bigint")).otherwise(0L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("SQL surface: functions usable via spark.sql after registration") {
     graft.plans.GraftExtensions.register(spark)
     Corpus.pages(spark, 20, 2).toDF().createOrReplaceTempView("pages_sql")

@@ -1,0 +1,174 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.oracle.NaiveIndex
+import graft.query.IndexReader
+import graft.sources.TableIO
+import graft.sync.{Checkpoint, Metrics, SyncJob, Watermark}
+
+/** Operational semantics from the reference's job layer: the 3-strikes
+  * error budget (destinationManager.js:30,185-188), multi-resource
+  * batches with per-resource resume + mid-batch list-change refusal
+  * (downloader.js:93-106), the multi-field nullable watermark
+  * (downloader.js:194-243), and checkpoint-log compaction.
+  */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+
+  test("error budget: 3 recorded failures poison the batch, 4th run refuses") {
+    val root = tmpDir("graft-budget")
+    val io = new TableIO(spark, root)
+    val good = Corpus.pages(spark, 100, 2)
+    val poisoned: Dataset[PageRow] = good.map { p =>
+      if (p.url.nonEmpty) throw new RuntimeException("poisoned batch")
+      p
+    }
+    val batch = ts(100)
+    (1 to 3).foreach { i =>
+      intercept[Exception] { SyncJob.run(spark, io, poisoned, batch) }
+      assert(Metrics.errorCount(spark, io, Checkpoint.toBatchId(batch),
+        SyncJob.Process) == i)
+    }
+    val e = intercept[IllegalStateException] {
+      SyncJob.run(spark, io, good, batch) // even good data: batch is burned
+    }
+    assert(e.getMessage.contains("refused"))
+    // a FRESH batch id is unaffected
+    val r = SyncJob.run(spark, io, good, ts(101))
+    assert(r.deltaRows == 100)
+  }
+
+  test("multi-resource batch: per-resource resume + list-change refusal") {
+    val root = tmpDir("graft-multires")
+    val io = new TableIO(spark, root)
+    val pagesA = Corpus.pages(spark, 120, 2)
+    val pagesB = Corpus.pages(spark, 80, 2)
+    val poisonedB: Dataset[PageRow] = pagesB.map { p =>
+      if (p.url.nonEmpty) throw new RuntimeException("resource B down")
+      p
+    }
+    val batch = ts(200)
+
+    // resource A completes, B fails mid-batch
+    intercept[Exception] {
+      SyncJob.runBatch(spark, io,
+        Seq("listings" -> pagesA, "media" -> poisonedB), batch)
+    }
+    assert(new TableIO(spark, s"$root/resources/listings")
+      .currentVersion().isDefined)
+
+    // changing the resource list mid-batch is the reference's hard error
+    val e = intercept[IllegalStateException] {
+      SyncJob.runBatch(spark, io,
+        Seq("listings" -> pagesA, "openhouses" -> pagesB), batch)
+    }
+    assert(e.getMessage.contains("changed mid-batch"))
+
+    // same list resumes: A skipped (done flag), B syncs
+    val r = SyncJob.runBatch(spark, io,
+      Seq("listings" -> pagesA, "media" -> pagesB), batch)
+    assert(r.perResource("listings") == 0L)
+    assert(r.perResource("media") == 80L)
+    val readerB = new IndexReader(spark, s"$root/resources/media")
+    assert(readerB.stats.n == 80)
+  }
+
+  test("nullable multi-timestamp watermark predicate (P3 full semantics)") {
+    def t(i: Int) = new Timestamp(i * 1000L)
+    val rows = Seq(
+      // (id, ts1, ts2): lo1=t(10), lo2=t(20), batchTs=t(100)
+      (1, t(15), Some(t(25))), // ts1 advanced               -> in
+      (2, t(5), Some(t(25))),  // only ts2 advanced          -> in
+      (3, t(5), Some(t(15))),  // neither advanced           -> out
+      (4, t(5), None),         // ts2 null, ts1 stale        -> out
+      (5, t(15), None),        // ts2 null, ts1 advanced     -> in (null rule)
+      (6, t(200), Some(t(25))),// ts1 beyond batchTs         -> out
+      (7, t(15), Some(t(200))) // ts2 beyond batchTs         -> out
+    ).toDF("id", "ts1", "ts2")
+    val got = rows.filter(Watermark.predicate(
+        Map("ts1" -> t(10), "ts2" -> t(20)), t(100), Seq("ts1", "ts2")))
+      .select($"id").as[Int].collect().sorted.toSeq
+    assert(got == Seq(1, 2, 5))
+    // epoch-0 watermark admits rows AT the epoch (>= rule); single-column
+    // predicate ignores ts2, so only the ts1-beyond-batchTs row drops
+    val epochGot = rows.filter(Watermark.predicate(
+        Map.empty, t(100), Seq("ts1")))
+      .select($"id").as[Int].collect().sorted.toSeq
+    assert(epochGot == Seq(1, 2, 3, 4, 5, 7))
+  }
+
+  test("runMultiTs: a row whose SECOND timestamp advanced re-syncs") {
+    val root = tmpDir("graft-multits")
+    val io = new TableIO(spark, root)
+    val n = 300
+    def raw(mediaTs: Map[Long, Timestamp]) = {
+      val mediaCol =
+        if (mediaTs.isEmpty) lit(null).cast("timestamp")
+        else coalesce(mediaTs.toSeq.map { case (i, mt) =>
+          when(col("idx") === i, lit(mt)) }: _*)
+      spark.createDataset(Corpus.localRows(n)).toDF()
+        .withColumn("idx", expr("cast(split(url, '/')[4] as long)"))
+        .withColumn("media_ts", mediaCol)
+        .drop("idx")
+    }
+
+    val r1 = SyncJob.runMultiTs(spark, io, raw(Map.empty),
+      Seq("warc_ts", "media_ts"), ts(n))
+    assert(r1.deltaRows == n)
+
+    // second batch: NO warc_ts moved, but doc #42's media_ts appears —
+    // the nullable OR-watermark must pick up exactly that row
+    val mt = new Timestamp(Corpus.warcTsMillis(5L * n))
+    val r2 = SyncJob.runMultiTs(spark, io, raw(Map(42L -> mt)),
+      Seq("warc_ts", "media_ts"), ts(6L * n))
+    assert(r2.deltaRows == 1)
+    // watermark advanced: re-running the same source selects nothing
+    val r3 = SyncJob.runMultiTs(spark, io, raw(Map(42L -> mt)),
+      Seq("warc_ts", "media_ts"), ts(7L * n))
+    assert(r3.deltaRows == 0)
+    // index still oracle-identical over the live rows
+    val oracle = new NaiveIndex(Corpus.localRows(n))
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+  }
+
+  test("verify read-model: in_sync flips when the source drifts") {
+    val root = tmpDir("graft-verifyq")
+    val io = new TableIO(spark, root)
+    val pages = Corpus.pages(spark, 150, 2)
+    SyncJob.run(spark, io, pages, ts(150))
+    val ok = graft.query.StatsQueries.verify(spark, io, pages).head()
+    assert(ok.getAs[Long]("src_count") == 150 &&
+      ok.getAs[Long]("dest_count") == 150 && ok.getAs[Boolean]("in_sync"))
+    // source gains rows the index has not seen -> drift detected
+    val drifted = graft.query.StatsQueries
+      .verify(spark, io, Corpus.pages(spark, 160, 2)).head()
+    assert(drifted.getAs[Long]("dest_count") == 150 &&
+      !drifted.getAs[Boolean]("in_sync"))
+  }
+
+  test("checkpoint log compacts past the file threshold, flags intact") {
+    val root = tmpDir("graft-cplog")
+    val io = new TableIO(spark, root)
+    val cp = new Checkpoint(spark, io)
+    (1 to Checkpoint.CompactAt + 20).foreach { i =>
+      cp.markDone(s"b$i", "sync", "pages", "publish")
+    }
+    // a fresh instance loads the sprawled log and rolls it up
+    val cp2 = new Checkpoint(spark, io)
+    assert(cp2.isDone("b1", "sync", "pages", "publish"))
+    assert(cp2.isDone(s"b${Checkpoint.CompactAt + 20}", "sync", "pages", "publish"))
+    val files = new java.io.File(io.checkpointsDir).listFiles()
+    assert(files.length <= 2, s"log not compacted: ${files.length} files")
+    // flags survive another reload
+    val cp3 = new Checkpoint(spark, io)
+    assert(cp3.isDone("b7", "sync", "pages", "publish"))
+    assert(cp3.oldestUnfinished("sync").isEmpty)
+  }
+}

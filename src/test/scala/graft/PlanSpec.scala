@@ -81,6 +81,22 @@ class PlanSpec extends SparkTestBase {
       s"expected columnar explode:\n$plan")
   }
 
+  test("dict block-pointers: a rare term's query opens a file subset") {
+    val reader = new graft.query.IndexReader(spark, root)
+    val io = new TableIO(spark, root)
+    val files = reader.filesForQuery("rare07")
+    val allFiles = reader.segments.flatMap { s =>
+      new java.io.File(s"${io.segmentDir(s)}/index").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    assert(files.nonEmpty, "dict carries no file pointers")
+    assert(files.size < allFiles.size,
+      s"rare-term query opens ${files.size} of ${allFiles.size} files — " +
+        "no dict-directed pruning")
+    // and the targeted read returns the same hits as ever
+    assert(reader.topK("rare07", 5).nonEmpty)
+  }
+
   test("watermark filter prunes at the pages scan (parquet pushdown)") {
     val dir = tmpDir("graft-plan-pages")
     Corpus.pages(spark, 300, 2).write.parquet(dir + "/p")
