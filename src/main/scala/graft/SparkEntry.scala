@@ -318,26 +318,70 @@ object SparkEntry {
       .orderBy(col("h"))
 
   /** MinHash+LSH near-dup candidates: char-5-gram shingles (stride 4),
-    * 16 hash permutations (md5-salted min) banded 8 bands × 2 rows —
-    * candidates = pairs sharing a whole band's signature (P[candidate] =
-    * 1-(1-s²)⁸ ≈ 1 at Jaccard 0.8, ≈ 0.5 at 0.3), so candidate
-    * generation is a bucket join, never all-pairs — the structure that
-    * holds at corpus scale.
+    * 16 hash permutations banded 8 bands × 2 rows — candidates = pairs
+    * sharing a whole band's signature (P[candidate] = 1-(1-s²)⁸ ≈ 1 at
+    * Jaccard 0.8, ≈ 0.5 at 0.3), so candidate generation is a bucket
+    * join, never all-pairs — the structure that holds at corpus scale.
+    *
+    * Each shingle is hashed ONCE (md5 → 60-bit int) and the 16
+    * permutations are affine transforms (aⱼ·x + bⱼ) mod p — the classic
+    * universal-hash MinHash — so the signature is one groupBy with 16
+    * min aggregates instead of a 16-way explode re-hashing every
+    * shingle. Constants stay < 2²² so products stay < 2⁵² (DuckDB BIGINT
+    * arithmetic is overflow-checked; both engines agree exactly).
     */
+  private val MhP = 1073741789L // prime < 2^30
+  private def mhA(j: Int): Long = 976369L + j * 104729L
+  private def mhB(j: Int): Long = 188029L + j * 130363L
+
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(length(text)-4, 1), 4)")).as("p"))
       .select(col("doc_id"),
-        expr("substring(text, p, 5)").as("g"))
-    val mh = sh
-      .crossJoin(s.range(0, 16).select(col("id").as("j")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), col("g")))).as("h"))
-    mh.withColumn("band", floor(col("j") / 2).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(sort_array(collect_list(
-        concat(col("j").cast("string"), lit(":"), col("h")))), ",")).as("bh"))
+        expr("cast(conv(substring(md5(substring(text, p, 5)), 1, 15), 16, 10) as bigint)")
+          .as("base"))
+      .select(col("doc_id"), (col("base") % MhP).as("x"))
+    val mins = (0 until 16).map(j =>
+      min((lit(mhA(j)) * col("x") + lit(mhB(j))) % MhP).as(s"s$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 8).map { bd =>
+      struct(lit(bd).as("band"),
+        md5(concat_ws(":", lit(bd), col(s"s${2 * bd}"), col(s"s${2 * bd + 1}")))
+          .as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+  }
+
+  /** The MinHash/banding pipeline as DuckDB CTEs — generated from the
+    * same constants as the Spark side so they can never drift.
+    */
+  private def minhashSqlCtes: String = {
+    val mins = (0 until 16)
+      .map(j => s"    min((${mhA(j)}*x + ${mhB(j)}) % $MhP) AS s$j")
+      .mkString(",\n")
+    val bands = (0 until 8)
+      .map(bd => s"  SELECT doc_id, $bd AS band, " +
+        s"md5('$bd:' || s${2 * bd}::VARCHAR || ':' || s${2 * bd + 1}::VARCHAR) AS bh FROM mh")
+      .mkString("\n  UNION ALL\n")
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(substr(text, p, 5)), 1, 15)) AS BIGINT)
+       |           % $MhP AS x
+       |  FROM (SELECT doc_id, text,
+       |        unnest(generate_series(1, greatest(length(text)-4, 1), 4)) AS p
+       |        FROM documents)),
+       |mh AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
@@ -372,7 +416,7 @@ object SparkEntry {
     val tk = t(s, dir, "documents").select(col("doc_id"),
       explode(split(col("text"), " ")).as("term")).distinct()
     val sizes = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
+    val inter = broadcast(cand)
       .join(tk.select(col("doc_id").as("d1"), col("term")), Seq("d1"))
       .join(tk.select(col("doc_id").as("d2"), col("term")), Seq("d2", "term"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
@@ -641,24 +685,8 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dupes
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "q_dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, substr(text, p, 5) AS g FROM (
-        |    SELECT doc_id, text,
-        |           unnest(generate_series(1, greatest(length(text)-4, 1), 4)) AS p
-        |    FROM documents)),
-        |mh AS (
-        |  SELECT doc_id, j, min(md5(cast(j AS varchar) || g)) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
-        |  GROUP BY doc_id, j),
-        |bands AS (
-        |  SELECT doc_id, cast(floor(j / 2) AS int) AS band,
-        |         md5(string_agg(cast(j AS varchar) || ':' || h, ','
-        |               ORDER BY cast(j AS varchar))) AS bh
-        |  FROM mh GROUP BY doc_id, cast(floor(j / 2) AS int))
-        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $minhashSqlCtes
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
     "q_dedup_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, md5(t) AS h FROM (
@@ -671,40 +699,23 @@ object SparkEntry {
         |       cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS bigint) AS simhash
         |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, substr(text, p, 5) AS g FROM (
-        |    SELECT doc_id, text,
-        |           unnest(generate_series(1, greatest(length(text)-4, 1), 4)) AS p
-        |    FROM documents)),
-        |mh AS (
-        |  SELECT doc_id, j, min(md5(cast(j AS varchar) || g)) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
-        |  GROUP BY doc_id, j),
-        |bands AS (
-        |  SELECT doc_id, cast(floor(j / 2) AS int) AS band,
-        |         md5(string_agg(cast(j AS varchar) || ':' || h, ','
-        |               ORDER BY cast(j AS varchar))) AS bh
-        |  FROM mh GROUP BY doc_id, cast(floor(j / 2) AS int)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |tk AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.d1, c.d2, count(*) AS i
-        |  FROM cand c
-        |  JOIN tk a ON a.doc_id = c.d1
-        |  JOIN tk b ON b.doc_id = c.d2 AND b.term = a.term
-        |  GROUP BY c.d1, c.d2)
-        |SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes s1 ON s1.doc_id = d1
-        |JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.2
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $minhashSqlCtes,
+         |tk AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN tk a ON a.doc_id = c.d1
+         |  JOIN tk b ON b.doc_id = c.d2 AND b.term = a.term
+         |  GROUP BY c.d1, c.d2)
+         |SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON s1.doc_id = d1
+         |JOIN sizes s2 ON s2.doc_id = d2
+         |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.2
+         |ORDER BY d1, d2""".stripMargin,
     "q_embed_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |c AS (

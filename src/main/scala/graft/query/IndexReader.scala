@@ -36,8 +36,14 @@ class IndexReader(spark: SparkSession, root: String) {
   private def segPaths(sub: String): Seq[String] =
     segments.map(s => s"${io.segmentDir(s)}/$sub")
 
+  /** Static schema for index reads: skips parquet footer schema inference
+    * (one driver job per spark.read otherwise — per-query latency).
+    */
+  private val blockSchema =
+    org.apache.spark.sql.Encoders.product[IndexBlock].schema
+
   val index: Dataset[IndexBlock] =
-    spark.read.parquet(segPaths("index"): _*).as[IndexBlock]
+    spark.read.schema(blockSchema).parquet(segPaths("index"): _*).as[IndexBlock]
   val dict: DataFrame = io.readParquet(s"${io.versionDir(version)}/dict")
   val stats: CorpusStats = {
     val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
@@ -101,17 +107,26 @@ class IndexReader(spark: SparkSession, root: String) {
     val termFiles = dictRows.flatMap(_.getSeq[String](2)).distinct
 
     // 2. targeted block scan: only the terms' files (fall back to the
-    // full segment union if the dict carries no pointers)
+    // full segment union if the dict carries no pointers); explicit
+    // schema = no footer-inference job per query
     val filtered =
       (if (termFiles.nonEmpty)
-        spark.read.parquet(termFiles.toSeq: _*).as[IndexBlock]
+        spark.read.schema(blockSchema).parquet(termFiles.toSeq: _*)
+          .as[IndexBlock]
       else index)
         .filter($"term".isin(terms.toSeq: _*))
 
-    // 3. probe fetch: limit+1 tells us whether the local path has everything
-    val probe = filtered.limit(LocalEvalMaxBlocks + 1).collect()
+    // 3. path choice from dict metadata when it is decisive: a group of n
+    // postings packs into >= ceil(n/128) blocks, so a query whose df sum
+    // already implies > LocalEvalMaxBlocks blocks goes straight to the
+    // distributed path — no wasted probe job on stopword queries
+    val minBlocks = dfMap.valuesIterator
+      .map(df => (df + 127) / 128).sum
+    val probe: Array[IndexBlock] =
+      if (minBlocks > LocalEvalMaxBlocks) Array.empty
+      else filtered.limit(LocalEvalMaxBlocks + 1).collect()
     val candidates: Array[Hit] =
-      if (probe.length <= LocalEvalMaxBlocks) {
+      if (minBlocks <= LocalEvalMaxBlocks && probe.length <= LocalEvalMaxBlocks) {
         if (probe.isEmpty) return Array.empty
         probe.groupBy(_.bucket).toSeq
           .flatMap { g =>

@@ -46,8 +46,14 @@ object SyncJob {
   val Process = "sync"
   val Epoch0 = new Timestamp(0L)
 
+  /** @param userFilter P4: an arbitrary source predicate AND-composed
+    *                    before the watermark (the reference's `$filter`
+    *                    endpoint fragment, config.example.js:18-23,
+    *                    composed at downloader.js:212-216)
+    */
   def run(spark: SparkSession, io: TableIO, pages: Dataset[PageRow],
-          batchTs: Timestamp, resource: String = "pages"): Result = {
+          batchTs: Timestamp, resource: String = "pages",
+          userFilter: Option[org.apache.spark.sql.Column] = None): Result = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val batchId = Checkpoint.toBatchId(batchTs)
@@ -61,7 +67,8 @@ object SyncJob {
     // error budget: a batch with 3 recorded failures is refused
     val release = io.acquireLock(s"sync:$batchId")
     try Metrics.withBudget(spark, io, batchId, Process, t0) {
-      runLocked(spark, io, cp, pages, batchTs, batchId, resource, t0)
+      val src = userFilter.map(pages.filter).getOrElse(pages)
+      runLocked(spark, io, cp, src, batchTs, batchId, resource, t0)
     } finally release()
   }
 

@@ -48,9 +48,11 @@ class LsmSpec extends SparkTestBase {
     val reader = new IndexReader(spark, root)
     assert(reader.stats.n == oracle.n)
     assert(reader.stats.avgdl == oracle.avgdl)
-    val got = reader.topK("spark stream", 10).map(h => (h.docId, h.score)).toSeq
-    val want = oracle.topK("spark stream", 10).map(h => (h.docId, h.score)).toSeq
-    assert(got == want)
+    Seq("w0003 document", "rare07", "the of and").foreach { q =>
+      val got = reader.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+      val want = oracle.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+      assert(got.nonEmpty && got == want, s"'$q' diverged")
+    }
   }
 
   test("purge appends tombstones only — no segment rewrite, no new segment") {
@@ -130,7 +132,7 @@ class LsmSpec extends SparkTestBase {
       val reader = new IndexReader(spark, root)
       assert(reader.stats.n == oracle.n)
       assert(reader.stats.avgdl == oracle.avgdl)
-      Seq("spark stream", "document", "rare07").foreach { q =>
+      Seq("w0003 document", "document", "rare07").foreach { q =>
         val got = reader.topK(q, 10).map(h => (h.docId, h.score)).toSeq
         assert(got == oracle.topK(q, 10).map(h => (h.docId, h.score)).toSeq,
           s"post-compaction divergence on '$q'")

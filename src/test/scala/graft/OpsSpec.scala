@@ -138,6 +138,16 @@ class OpsSpec extends SparkTestBase {
     assert(reader.stats.avgdl == oracle.avgdl)
   }
 
+  test("user endpoint filter (P4) composes before the watermark") {
+    val root = tmpDir("graft-p4")
+    val io = new TableIO(spark, root)
+    val r = SyncJob.run(spark, io, Corpus.pages(spark, 300, 2), ts(300),
+      userFilter = Some(col("lang") === "en"))
+    val enCount = Corpus.localRows(300).count(_.lang == "en")
+    assert(r.deltaRows == enCount && enCount > 0 && enCount < 300)
+    assert(new IndexReader(spark, root).stats.n == enCount)
+  }
+
   test("verify read-model: in_sync flips when the source drifts") {
     val root = tmpDir("graft-verifyq")
     val io = new TableIO(spark, root)
