@@ -482,6 +482,57 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Multi-probe LSH ANN: probe the query's bucket AND every bucket at
+    * Hamming distance 1 (9 probes over 8 sign bits) — the standard
+    * recall repair for single-probe LSH; candidates stay ≪ corpus.
+    */
+  private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val buckets = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.functions.lsh_bits(col("embedding")).as("bucket"))
+    val e = t(s, dir, "embeddings")
+    val qb = buckets.filter(col("vec_id") === 0).select(col("bucket"))
+    val probes = qb
+      .crossJoin(s.range(0, 9).select(col("id").as("j")))
+      .select(when(col("j") === 8, col("bucket"))
+        .otherwise(expr("bucket ^ shiftleft(1L, cast(j as int))")).as("bucket"))
+      .distinct()
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    buckets
+      .join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(graft.functions.functions.cosine_sim(col("embedding"), col("qv")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup (the dedup modality over vectors): only
+    * co-bucketed pairs are scored (LSH candidates, never all-pairs);
+    * report the top pairs by cosine — at web scale a threshold filter
+    * (cos >= 0.95) replaces the limit.
+    */
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val buckets = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.functions.lsh_bits(col("embedding")).as("bucket"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = buckets.select(col("vec_id").as("v1"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("v2"), col("bucket")), "bucket")
+      .where(col("v1") < col("v2"))
+    pairs
+      .join(e.toDF("v1", "e1"), Seq("v1"))
+      .join(e.toDF("v2", "e2"), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        round(graft.functions.functions.cosine_sim(col("e1"), col("e2")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("v1").asc, col("v2").asc)
+      .limit(20)
+  }
+
   /** Language-ID by stopword-list voting (n-gram-free heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
     val en = Seq("the", "of", "and", "to", "in", "is", "a")
@@ -575,6 +626,8 @@ object SparkEntry {
     "q_embed_cosine_topk" -> (qEmbedCosineTopK _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_lsh_search" -> (qAnnLshSearch _),
+    "q_ann_multiprobe" -> (qAnnMultiprobe _),
+    "q_dedup_embed" -> (qDedupEmbed _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -739,6 +792,62 @@ object SparkEntry {
         |SELECT vec_id,
         |       cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_ann_multiprobe" ->
+      """WITH dots AS (
+        |  SELECT vec_id, j,
+        |         sum(cast(embedding[i+1] AS double) * (((i*31 + j*17) % 7) - 3)) AS dot
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+        |  GROUP BY vec_id, j),
+        |bk AS (
+        |  SELECT vec_id,
+        |         cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT DISTINCT CASE WHEN j = 8 THEN bucket
+        |         ELSE xor(bucket, cast(pow(2, j) AS bigint)) END AS bucket
+        |  FROM qb CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j)),
+        |cand AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN bk ON bk.vec_id = e.vec_id JOIN probes p ON bk.bucket = p.bucket
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id,
+        |       round(list_dot_product(list_transform(embedding, x -> cast(x AS double)),
+        |                              list_transform(qv, x -> cast(x AS double)))
+        |         / (sqrt(list_dot_product(list_transform(embedding, x -> cast(x AS double)),
+        |                                  list_transform(embedding, x -> cast(x AS double))))
+        |          * sqrt(list_dot_product(list_transform(qv, x -> cast(x AS double)),
+        |                                  list_transform(qv, x -> cast(x AS double))))), 4) AS cos
+        |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH dots AS (
+        |  SELECT vec_id, j,
+        |         sum(cast(embedding[i+1] AS double) * (((i*31 + j*17) % 7) - 3)) AS dot
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+        |  GROUP BY vec_id, j),
+        |bk AS (
+        |  SELECT vec_id,
+        |         cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT v1, v2,
+        |       round(list_dot_product(list_transform(e1.embedding, x -> cast(x AS double)),
+        |                              list_transform(e2.embedding, x -> cast(x AS double)))
+        |         / (sqrt(list_dot_product(list_transform(e1.embedding, x -> cast(x AS double)),
+        |                                  list_transform(e1.embedding, x -> cast(x AS double))))
+        |          * sqrt(list_dot_product(list_transform(e2.embedding, x -> cast(x AS double)),
+        |                                  list_transform(e2.embedding, x -> cast(x AS double))))), 4) AS cos
+        |FROM pairs
+        |JOIN embeddings e1 ON e1.vec_id = v1
+        |JOIN embeddings e2 ON e2.vec_id = v2
+        |ORDER BY cos DESC, v1 ASC, v2 ASC LIMIT 20""".stripMargin,
     "q_ann_lsh_search" ->
       """WITH dots AS (
         |  SELECT vec_id, j,

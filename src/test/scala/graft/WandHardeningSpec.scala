@@ -86,6 +86,103 @@ class WandHardeningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  /** LSM hardening: docs scattered over 3 segments with stale older
+    * copies (perturbed tfs) and purges, killed by tombstones — the
+    * MergedTermCursor + dead-skip + block-max interplay must still be
+    * rank- and score-identical to a brute force over the LIVE versions.
+    */
+  test("multi-segment cursors + tombstones: WAND == TAAT == brute force") {
+    val rng = new scala.util.Random(11)
+    case class DocV(docId: Long, dl: Int, tfs: Map[String, Int])
+    val segs = 3
+    val plan = oracle.docs.map { d =>
+      val main = rng.nextInt(segs)
+      val purged = rng.nextDouble() < 0.10
+      val staleIn = if (main > 0 && rng.nextDouble() < 0.30)
+        Some(rng.nextInt(main)) else None
+      (d, main, purged, staleIn)
+    }
+    val live = plan.filterNot(_._3)
+      .map { case (d, _, _, _) => DocV(d.docId, d.dl, d.tfs) }
+    val dead: Map[Long, String] = plan.flatMap {
+      case (d, _, true, _) => Some(d.docId -> "~")
+      case (d, main, _, Some(_)) => Some(d.docId -> s"s$main")
+      case _ => None
+    }.toMap
+    // per-segment posting pools (stale copies get perturbed tf/dl)
+    val segDocs: Map[Int, Seq[DocV]] = (0 until segs).map { s =>
+      s -> plan.flatMap { case (d, main, _, staleIn) =>
+        if (main == s) Some(DocV(d.docId, d.dl, d.tfs))
+        else if (staleIn.contains(s))
+          Some(DocV(d.docId, d.dl + 7, d.tfs.map { case (t, tf) => t -> (tf + 1) }))
+        else None
+      }
+    }.toMap
+    val blocks: Map[(String, Int), Array[IndexBlock]] = {
+      val all = for {
+        (s, docs) <- segDocs.toSeq
+        d <- docs
+        (t, tf) <- d.tfs.toSeq
+      } yield (s, Posting(t, DocIds.bucket(d.docId), d.docId, tf, d.dl))
+      all.groupBy { case (s, p) => (s, p.term, p.bucket) }.toSeq
+        .flatMap { case ((s, t, bkt), ps) =>
+          ps.map(_._2).sortBy(_.docId).grouped(4).zipWithIndex.map {
+            case (chunk0, bi) =>
+              val chunk = chunk0.toArray
+              val ids = chunk.map(_.docId)
+              IndexBlock(t, bkt, bi, ids.head, ids.last, chunk.length,
+                chunk.map(_.tf).max, chunk.map(_.dl).min,
+                chunk.map(_.tf.toLong).sum,
+                graft.index.Codec.encodeDocIds(ids, ids.head),
+                graft.index.Codec.encodeInts(chunk.map(_.tf)),
+                graft.index.Codec.encodeInts(chunk.map(_.dl)), s"s$s")
+          }
+        }
+        .groupBy(b => (b.term, b.bucket))
+        .map { case (k, bs) => k -> bs.toArray }
+    }
+    val n = live.size.toLong
+    val avgdl = live.map(_.dl.toLong).sum.toDouble / n
+    def df(t: String): Long = live.count(_.tfs.contains(t)).toLong
+
+    def brute(q: String, k: Int): Seq[(Long, Double)] = {
+      val terms = Bm25.queryTerms(q).filter(t => df(t) > 0)
+      if (terms.isEmpty) return Seq.empty
+      val idf = terms.map(t => t -> Bm25.idf(n, df(t))).toMap
+      live.flatMap { d =>
+        var s = 0.0
+        var hit = false
+        terms.foreach { t =>
+          d.tfs.get(t).foreach { tf =>
+            s += Bm25.termScore(idf(t), tf, d.dl, avgdl); hit = true
+          }
+        }
+        if (hit) Some((d.docId, s)) else None
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+    }
+
+    def engine(q: String, k: Int, wand: Boolean): Seq[(Long, Double)] = {
+      val terms = Bm25.queryTerms(q).filter(t => df(t) > 0)
+      if (terms.isEmpty) return Seq.empty
+      val idf = terms.map(t => t -> Bm25.idf(n, df(t))).toMap
+      blocks.filter(e => terms.contains(e._1._1)).groupBy(_._1._2)
+        .values.toSeq
+        .flatMap { g =>
+          val byTerm = g.map { case ((t, _), bs) => (t, bs) }.toSeq
+          if (wand) Wand.topKInBucket(byTerm, idf, avgdl, k, dead)
+          else Wand.taatInBucket(byTerm, idf, avgdl, k, dead)
+        }
+        .sortBy(h => (-h.score, h.docId)).take(k)
+        .map(h => (h.docId, h.score))
+    }
+
+    forAllSeeded(queryGen, n = 120) { case (q, k) =>
+      val want = brute(q, k)
+      assert(engine(q, k, wand = true) == want, s"LSM WAND != brute [$q] k=$k")
+      assert(engine(q, k, wand = false) == want, s"LSM TAAT != brute [$q] k=$k")
+    }
+  }
+
   test("block-level invariance: blockSize 4 and 128 give identical results") {
     val b4 = buildBlocks(4)
     val b128 = buildBlocks(128)
