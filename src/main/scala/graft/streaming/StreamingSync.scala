@@ -51,6 +51,70 @@ object StreamingSync {
     q.awaitTermination()
   }
 
+  /** Per-url ingest state for [[dedupOnIngest]]: the newest indexed
+    * timestamp and a 64-bit content hash.
+    */
+  case class UrlState(lastTs: Long, contentHash: Long)
+
+  private def contentHash(text: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      org.apache.spark.sql.types.StringType, 7L)
+
+  /** Streaming crawl dedup-on-ingest — custom keyed state via
+    * flatMapGroupsWithState (SURVEY §2.10 stateful analog): per url,
+    * emit a page downstream only when it is NEW or its content CHANGED
+    * with a newer warc_ts; unchanged recrawls advance the state's
+    * timestamp but produce nothing, so the expensive extract+index path
+    * never sees them. State is one (ts, hash) pair per url — at crawl
+    * scale production adds a state TTL (GroupStateTimeout) keyed to the
+    * recrawl horizon.
+    */
+  def dedupOnIngest(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    pages
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[UrlState, PageRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var st = state.getOption.getOrElse(UrlState(Long.MinValue, 0L))
+          val out = Vector.newBuilder[PageRow]
+          rows.toSeq.sortBy(_.warc_ts.getTime).foreach { p =>
+            val h = contentHash(p.text)
+            if (p.warc_ts.getTime > st.lastTs) {
+              if (h != st.contentHash) out += p
+              st = UrlState(p.warc_ts.getTime, h)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Run dedup-on-ingest over all currently-available files, appending
+    * survivors to `outDir` parquet; repeated calls with the same stream
+    * checkpoint resume the keyed state (recrawls across ticks dedupe).
+    */
+  def dedupOnIngestOnce(spark: SparkSession, pagesDir: String,
+                        streamCheckpoint: String, outDir: String): Unit = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[PageRow].schema)
+      .parquet(pagesDir)
+      .as[PageRow]
+    val q = dedupOnIngest(pages).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", streamCheckpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[PageRow], _: Long) =>
+        b.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked windowed throughput metrics over a pages stream — the
     * streaming analog of the ors_* per-batch counters: rows per 1-minute
     * warc_ts window, tolerating 2 minutes of lateness.

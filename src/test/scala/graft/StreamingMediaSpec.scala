@@ -36,6 +36,43 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("stateful dedup-on-ingest: unchanged recrawls emit nothing") {
+    val pagesDir = tmpDir("graft-dedupe-pages")
+    val cpDir = tmpDir("graft-dedupe-cp")
+    val outDir = tmpDir("graft-dedupe-out") + "/survivors"
+
+    // tick 1: 100 fresh pages — all pass through
+    spark.range(0, 100).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    StreamingSync.dedupOnIngestOnce(spark, pagesDir, cpDir, outDir)
+    assert(spark.read.parquet(outDir).count() == 100)
+
+    // tick 2: recrawl of all 100 with bumped timestamps — 10 changed
+    // content, 90 byte-identical — plus 20 brand-new pages
+    val recrawl = spark.range(0, 100).map { i =>
+      val p = Corpus.row(i)
+      val bumped = p.copy(
+        warc_ts = new java.sql.Timestamp(Corpus.warcTsMillis(10000 + i)))
+      if (i < 10) {
+        val newText = bumped.text + "\nrecrawl changed"
+        val esc = newText.split("\n", -1).map(l =>
+          "<p>" + l.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;") + "</p>").mkString
+        bumped.copy(text = newText,
+          html = (s"<html><head><title>doc $i</title></head><body>$esc" +
+            "</body></html>").getBytes("UTF-8"))
+      } else bumped
+    }
+    recrawl.write.mode("append").parquet(pagesDir)
+    spark.range(100, 120).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    StreamingSync.dedupOnIngestOnce(spark, pagesDir, cpDir, outDir)
+    // only the 10 changed + 20 new survive; 90 unchanged recrawls dropped
+    val all = spark.read.parquet(outDir)
+    assert(all.count() == 130, s"expected 130 total survivors, got ${all.count()}")
+    assert(all.filter(col("text").contains("recrawl changed")).count() == 10)
+  }
+
   test("streaming watermarked window aggregation over pages") {
     val pagesDir = tmpDir("graft-streamw-pages")
     val cpDir = tmpDir("graft-streamw-cp")
