@@ -578,6 +578,20 @@ object SparkEntry {
       octet_length(col("text")).as("media_bytes"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish subword token counting: greedy fixed-width subword chunks
+    * ([a-z0-9]{1,4}, the leftmost-longest regex both engines share) —
+    * the cheap stand-in for a real BPE vocab when budgeting LLM training
+    * tokens; reports total and distinct subwords per doc.
+    */
+  private def qTokenBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]{1,4}', 0)").as("sw"))
+      .select(col("doc_id"),
+        size(col("sw")).as("bpe_tokens"),
+        size(array_distinct(col("sw"))).as("bpe_vocab"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting: position-weighted rolling hash of the first
     * 128 chars (pure integer math — cross-engine exact).
     */
@@ -631,6 +645,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
+    "q_token_bpe" -> (qTokenBpe _),
     "q_fingerprint" -> (qFingerprint _))
 
   def oracleSql: Map[String, String] = Map(
@@ -902,6 +917,11 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |       length(text) AS chars, octet_length(encode(text)) AS media_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS bpe_tokens,
+        |       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))) AS bpe_vocab
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH pos AS (
