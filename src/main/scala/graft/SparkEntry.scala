@@ -342,12 +342,12 @@ object SparkEntry {
         expr("cast(conv(substring(md5(substring(text, p, 5)), 1, 15), 16, 10) as bigint)")
           .as("base"))
       .select(col("doc_id"), (col("base") % MhP).as("x"))
-    val mins = (0 until 16).map(j =>
+    val mins = (0 until 32).map(j =>
       min((lit(mhA(j)) * col("x") + lit(mhB(j))) % MhP).as(s"s$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until 8).map { bd =>
       struct(lit(bd).as("band"),
-        md5(concat_ws(":", lit(bd), col(s"s${2 * bd}"), col(s"s${2 * bd + 1}")))
+        md5(concat_ws(":", lit(bd) +: (0 until 4).map(r => col(s"s${4 * bd + r}")): _*))
           .as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
@@ -358,12 +358,15 @@ object SparkEntry {
     * same constants as the Spark side so they can never drift.
     */
   private def minhashSqlCtes: String = {
-    val mins = (0 until 16)
+    val mins = (0 until 32)
       .map(j => s"    min((${mhA(j)}*x + ${mhB(j)}) % $MhP) AS s$j")
       .mkString(",\n")
     val bands = (0 until 8)
-      .map(bd => s"  SELECT doc_id, $bd AS band, " +
-        s"md5('$bd:' || s${2 * bd}::VARCHAR || ':' || s${2 * bd + 1}::VARCHAR) AS bh FROM mh")
+      .map { bd =>
+        val sigs = (0 until 4)
+          .map(r => s"s${4 * bd + r}::VARCHAR").mkString(" || ':' || ")
+        s"  SELECT doc_id, $bd AS band, md5('$bd:' || $sigs) AS bh FROM mh"
+      }
       .mkString("\n  UNION ALL\n")
     s"""sh AS (
        |  SELECT doc_id,
