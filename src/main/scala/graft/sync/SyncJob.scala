@@ -50,10 +50,17 @@ object SyncJob {
     *                    before the watermark (the reference's `$filter`
     *                    endpoint fragment, config.example.js:18-23,
     *                    composed at downloader.js:212-216)
+    * @param dryRun     S11 devnull analog: run analyze + segment +
+    *                    collision check and record a metrics row, but
+    *                    never merge or publish — a write-audit pass that
+    *                    costs no index mutation. The staged output and
+    *                    checkpoint flags remain, so a later real run of
+    *                    the same batch resumes straight at the merge.
     */
   def run(spark: SparkSession, io: TableIO, pages: Dataset[PageRow],
           batchTs: Timestamp, resource: String = "pages",
-          userFilter: Option[org.apache.spark.sql.Column] = None): Result = {
+          userFilter: Option[org.apache.spark.sql.Column] = None,
+          dryRun: Boolean = false): Result = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val batchId = Checkpoint.toBatchId(batchTs)
@@ -68,14 +75,14 @@ object SyncJob {
     val release = io.acquireLock(s"sync:$batchId")
     try Metrics.withBudget(spark, io, batchId, Process, t0) {
       val src = userFilter.map(pages.filter).getOrElse(pages)
-      runLocked(spark, io, cp, src, batchTs, batchId, resource, t0)
+      runLocked(spark, io, cp, src, batchTs, batchId, resource, t0, dryRun)
     } finally release()
   }
 
   private def runLocked(spark: SparkSession, io: TableIO, cp: Checkpoint,
                         pages: Dataset[PageRow], batchTs: Timestamp,
                         batchId: String, resource: String,
-                        t0: Long): Result = {
+                        t0: Long, dryRun: Boolean = false): Result = {
     import spark.implicits._
 
     // ---- analyze ----------------------------------------------------
@@ -89,7 +96,7 @@ object SyncJob {
       cp.markDone(batchId, Process, resource, "analyze")
     }
 
-    runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
+    runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0, dryRun)
   }
 
   case class BatchResult(batchId: String, perResource: Map[String, Long])
@@ -209,6 +216,7 @@ object SyncJob {
   private[sync] def runFromAnalyzed(
       spark: SparkSession, io: TableIO, cp: Checkpoint, batchId: String,
       process: String, resource: String, t0: Long,
+      dryRun: Boolean = false,
       purged: Option[Dataset[Long]] = None): Result = {
     import spark.implicits._
     val analyzedDir = io.stagingDir(batchId, "analyzed")
@@ -229,6 +237,16 @@ object SyncJob {
         SegmentBuilder.toPostings(analyzed), batchId)
       io.writeParquet(blocks.toDF(), blocksDir)
       cp.markDone(batchId, process, resource, "segment")
+    }
+
+    // ---- dry run stops here (devnull destination, S11): the batch is
+    // staged, validated, and measured — nothing merged, nothing published
+    if (dryRun) {
+      val n = io.readSmallFile(s"${io.root}/staging/$batchId/delta_rows")
+        .map(_.trim.toLong).getOrElse(0L)
+      Metrics.append(io, Metrics.driverRow(spark, batchId, process, n,
+        System.currentTimeMillis() - t0, "dryrun"))
+      return Result(batchId, n, System.currentTimeMillis() - t0)
     }
 
     // ---- merge -------------------------------------------------------

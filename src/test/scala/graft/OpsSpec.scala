@@ -148,6 +148,22 @@ class OpsSpec extends SparkTestBase {
     assert(new IndexReader(spark, root).stats.n == enCount)
   }
 
+  test("dry run (devnull, S11): stages + validates, publishes nothing") {
+    val root = tmpDir("graft-dry")
+    val io = new TableIO(spark, root)
+    val pages = Corpus.pages(spark, 200, 2)
+    val r = SyncJob.run(spark, io, pages, ts(200), dryRun = true)
+    assert(r.deltaRows == 200)
+    assert(io.currentVersion().isEmpty, "dry run must publish nothing")
+    assert(Metrics.errorCount(spark, io, r.batchId, SyncJob.Process) == 0)
+    assert(io.readParquet(io.metricsDir)
+      .filter(col("result") === "dryrun").count() == 1)
+    // the real run of the same batch reuses the staged work and publishes
+    val r2 = SyncJob.run(spark, io, pages, ts(200))
+    assert(r2.deltaRows == 200)
+    assert(new IndexReader(spark, root).stats.n == 200)
+  }
+
   test("verify read-model: in_sync flips when the source drifts") {
     val root = tmpDir("graft-verifyq")
     val io = new TableIO(spark, root)
