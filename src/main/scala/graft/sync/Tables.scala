@@ -185,15 +185,27 @@ object Tables {
       }
 
     // killed = previously-live rows of affected docIds: their term stats
-    // leave the dict, their doclen leaves the corpus stats
+    // leave the dict, their doclen leaves the corpus stats. A narrow
+    // pre-check on the docs tables' docId column decides whether the
+    // (wider) fwd lookup is needed at all — a pure-append batch (new urls
+    // only, the crawl steady state) skips it entirely.
     val tombsDf = old.tombstones.toDF("t_docId", "t_before")
-    val killed = readFwd(spark, io, old.segments)
-      .select($"docId", $"url", $"doclen", $"tfs", $"seg")
-      .join(broadcast(affected), Seq("docId"))
-      .join(broadcast(tombsDf),
-        $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
-      .select($"docId", $"url", $"doclen", $"tfs")
-      .persist()
+    val nExisting = spark.read
+      .parquet(old.segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
+      .select($"docId")
+      .join(broadcast(affected), Seq("docId"), "left_semi")
+      .count()
+    val killed = (
+      if (nExisting == 0)
+        spark.emptyDataset[(Long, String, Int, Map[String, Int])]
+          .toDF("docId", "url", "doclen", "tfs")
+      else readFwd(spark, io, old.segments)
+        .select($"docId", $"url", $"doclen", $"tfs", $"seg")
+        .join(broadcast(affected), Seq("docId"))
+        .join(broadcast(tombsDf),
+          $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
+        .select($"docId", $"url", $"doclen", $"tfs")
+      ).persist()
     try {
       // cross-batch xxhash64 collision check: a delta url landing on a
       // previously indexed docId must be the SAME url (an update), else
