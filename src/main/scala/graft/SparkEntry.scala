@@ -318,15 +318,16 @@ object SparkEntry {
       .orderBy(col("h"))
 
   /** MinHash+LSH near-dup candidates: char-5-gram shingles (stride 4),
-    * 16 hash permutations banded 8 bands × 2 rows — candidates = pairs
-    * sharing a whole band's signature (P[candidate] = 1-(1-s²)⁸ ≈ 1 at
-    * Jaccard 0.8, ≈ 0.5 at 0.3), so candidate generation is a bucket
-    * join, never all-pairs — the structure that holds at corpus scale.
+    * 32 hash permutations banded 8 bands × 4 rows — candidates = pairs
+    * sharing a whole band's signature (P[candidate] = 1-(1-s⁴)⁸ ≈ 0.985 at
+    * Jaccard 0.8, ≈ 0.06 at 0.3), so candidate generation is a bucket
+    * join, never all-pairs, and weak pairs mostly never surface (this
+    * template-heavy corpus: 10k candidates instead of 1.16M at r=2).
     *
-    * Each shingle is hashed ONCE (md5 → 60-bit int) and the 16
+    * Each shingle is hashed ONCE (md5 → 60-bit int) and the 32
     * permutations are affine transforms (aⱼ·x + bⱼ) mod p — the classic
-    * universal-hash MinHash — so the signature is one groupBy with 16
-    * min aggregates instead of a 16-way explode re-hashing every
+    * universal-hash MinHash — so the signature is one groupBy with 32
+    * min aggregates instead of a 32-way explode re-hashing every
     * shingle. Constants stay < 2²² so products stay < 2⁵² (DuckDB BIGINT
     * arithmetic is overflow-checked; both engines agree exactly).
     */

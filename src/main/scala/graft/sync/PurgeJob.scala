@@ -70,7 +70,7 @@ object PurgeJob {
             "(reference semantics: destinationManager.js:361-366)")
       }
       if (!cp.isDone(batchId, Process, resource, "merge")) {
-        if (current.segments.size >= Tables.compactThreshold)
+        if (Tables.needsCompaction(current))
           Tables.compactVersion(spark, io, current, batchId, None, toPurge)
         else
           Tables.appendVersion(spark, io, current, batchId, None, toPurge)

@@ -261,9 +261,10 @@ object SyncJob {
           // dirs by rename (O(1), no re-read) and derive dict/stats
           Tables.writeInitial(spark, io, batchId, docsDir, blocksDir,
             analyzedDir)
-        case Some(o) if o.segments.size >= Tables.compactThreshold =>
-          // every compactThreshold batches: fold segments into one
-          // (amortized O(index/threshold) merge I/O per batch)
+        case Some(o) if Tables.needsCompaction(o) =>
+          // every compactThreshold batches (or at high tombstone ratio):
+          // fold segments into one — amortized O(index/threshold) merge
+          // I/O per batch
           Tables.compactVersion(spark, io, o, batchId, staged, purgedDs)
         case Some(o) =>
           // steady state: O(delta) segment append + tombstones

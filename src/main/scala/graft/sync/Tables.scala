@@ -50,6 +50,15 @@ object Tables {
     */
   val PurgeSentinel = "~"
 
+  /** Compact when the manifest sprawls OR the tombstone set outgrows a
+    * fifth of the live corpus — the latter guards purge-heavy workloads
+    * that never add segments (dead postings would otherwise accumulate
+    * without bound; Lucene's deletes-percentage merge trigger).
+    */
+  def needsCompaction(t: IndexTables): Boolean =
+    t.segments.size >= compactThreshold ||
+      (t.stats.n > 0 && t.tombstoneCount > t.stats.n / 5)
+
   // ---- load ----------------------------------------------------------
 
   def load(spark: SparkSession, io: TableIO, version: String): IndexTables = {

@@ -145,6 +145,33 @@ class LsmSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone-ratio trigger: purge-heavy workloads compact eventually") {
+    val root = tmpDir("graft-tombratio")
+    val io = new TableIO(spark, root)
+    val N = 500
+    val rows = Corpus.localRows(N)
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+
+    // three shrinking purges; no segment is ever added, so only the
+    // tombstone-ratio rule can trigger the fold
+    def keepUnder(limit: Int) = rows.filter(_.url.split("/").last.toInt < limit)
+    PurgeJob.run(spark, io, spark.createDataset(keepUnder(440)), ts(N + 1))
+    PurgeJob.run(spark, io, spark.createDataset(keepUnder(380)), ts(N + 2))
+    assert(io.readManifest(io.currentVersion().get)._2 == 120) // still appending
+    PurgeJob.run(spark, io, spark.createDataset(keepUnder(320)), ts(N + 3))
+    val (segs, tombs) = io.readManifest(io.currentVersion().get)
+    assert(segs.size == 1 && tombs == 0,
+      s"expected compaction at high tombstone ratio, got $segs / $tombs")
+
+    val live = keepUnder(320)
+    val oracle = new NaiveIndex(live)
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == oracle.n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    val got = reader.topK("document", 10).map(h => (h.docId, h.score)).toSeq
+    assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+  }
+
   test("single-flight: a held lock refuses a second job, stale locks break") {
     val root = tmpDir("graft-lock")
     val io = new TableIO(spark, root)
