@@ -108,13 +108,18 @@ class IndexReader(spark: SparkSession, root: String) {
 
     // 2. targeted block scan: only the terms' files (fall back to the
     // full segment union if the dict carries no pointers); explicit
-    // schema = no footer-inference job per query
+    // schema = no footer-inference job per query. The filter uses the
+    // DICT-LIVE terms only (dfMap keys), not the raw query terms: under
+    // churn a term whose df reached 0 leaves the dict while its dead
+    // postings stay physically in segment files until compaction — its
+    // blocks must not reach the scorers, which have no idf for it.
+    val liveTerms = dfMap.keys.toSeq
     val filtered =
       (if (termFiles.nonEmpty)
         spark.read.schema(blockSchema).parquet(termFiles.toSeq: _*)
           .as[IndexBlock]
       else index)
-        .filter($"term".isin(terms.toSeq: _*))
+        .filter($"term".isin(liveTerms: _*))
 
     // 3. path choice from dict metadata when it is decisive: a group of n
     // postings packs into >= ceil(n/128) blocks, so a query whose df sum

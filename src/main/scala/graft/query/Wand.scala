@@ -191,7 +191,7 @@ object Wand extends Serializable {
                       idf: Map[String, Double], avgdl: Double,
                       dead: Map[Long, String]): Array[Cursor] =
     termBlocks
-      .filter(_._2.nonEmpty)
+      .filter(e => e._2.nonEmpty && idf.contains(e._1)) // no idf = dict-dead term: skip
       .sortBy(_._1) // lex order = fixed scoring order
       .map { case (t, bs) =>
         val groups = bs.groupBy(_.batch_id).toSeq.sortBy(_._1)
@@ -336,7 +336,7 @@ object Wand extends Serializable {
       k: Int,
       dead: Map[Long, String] = Map.empty): Array[Hit] = {
     val acc = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
-    termBlocks.sortBy(_._1).foreach { case (t, bs) =>
+    termBlocks.filter(e => idf.contains(e._1)).sortBy(_._1).foreach { case (t, bs) =>
       val theIdf = idf(t)
       bs.sortBy(b => (b.batch_id, b.firstDocId)).foreach { b =>
         val ids = Codec.decodeDocIds(b.docIdsVB, b.count, b.firstDocId)

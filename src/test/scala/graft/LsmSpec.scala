@@ -172,6 +172,40 @@ class LsmSpec extends SparkTestBase {
     assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
   }
 
+  test("query with a dict-dead term (df hit 0 under churn) must not crash") {
+    // regression: appendVersion drops a term from the dict when its df
+    // reaches 0, but its dead postings stay physically in the old
+    // segment's files until compaction. A multi-term query containing
+    // such a term used to surface its blocks (same parquet files as a
+    // live term) and crash Wand on the missing idf key.
+    def page(u: String, tsMs: Long, text: String): PageRow = PageRow(
+      u, new Timestamp(tsMs),
+      s"<html><head></head><body><p>$text</p></body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      text, "en")
+    val root = tmpDir("graft-deadterm")
+    val io = new TableIO(spark, root)
+    val t1 = 1704067200000L
+    val a1 = page("http://x.test/a", t1, "unicorn shared words here")
+    val b1 = page("http://x.test/b", t1 + 1, "shared words common stuff")
+    SyncJob.run(spark, io, spark.createDataset(Seq(a1, b1)),
+      new Timestamp(t1 + 10))
+    // update A so 'unicorn' leaves the corpus: df(unicorn) -> 0, dict row
+    // filtered out, dead posting still in segment 1's files
+    val a2 = page("http://x.test/a", t1 + 1000, "shared words replaced entirely")
+    SyncJob.run(spark, io, spark.createDataset(Seq(a2, b1)),
+      new Timestamp(t1 + 2000))
+
+    val reader = new IndexReader(spark, root)
+    val live = Seq(a2, b1)
+    val oracle = new NaiveIndex(live)
+    Seq("unicorn shared", "unicorn", "unicorn shared words").foreach { q =>
+      val got = reader.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+      val want = oracle.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"'$q' diverged after term death")
+    }
+  }
+
   test("single-flight: a held lock refuses a second job, stale locks break") {
     val root = tmpDir("graft-lock")
     val io = new TableIO(spark, root)
