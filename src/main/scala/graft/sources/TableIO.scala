@@ -119,19 +119,30 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
   def gcVersions(keep: Int = 2): Unit = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return
+    // crash-awareness: a version dir without a manifest is a batch that
+    // died mid-merge (the manifest is written last) — it is invisible to
+    // GC bookkeeping (never read, never counted toward `keep`) and never
+    // deleted here: its checkpointed resume rewrites the whole v= dir.
     val versions = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v="))
+      .filter(v => exists(s"${versionDir(v)}/manifest"))
       .sorted
     versions.dropRight(keep).foreach(v => deleteDir(versionDir(v)))
     val kept = versions.takeRight(keep)
     val referenced = kept.flatMap(v => readManifest(v)._1).toSet
+    // segments newer than the newest PUBLISHED version belong to an
+    // in-flight batch that already adopted its staged dirs by rename —
+    // deleting them would make that batch's resume fail forever in
+    // moveDir (neither src nor dst would exist)
+    val newestPublished = versions.lastOption.getOrElse("")
     val segRoot = new Path(s"$root/segments")
     if (fs.exists(segRoot))
       fs.listStatus(segRoot).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filterNot(referenced)
+        .filterNot(_ > newestPublished)
         .foreach(s => deleteDir(segmentDir(s)))
   }
 
@@ -145,10 +156,24 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
   def acquireLock(owner: String, staleMs: Long = 30 * 60 * 1000L): () => Unit = {
     val lock = new Path(s"$root/lock")
     fs.mkdirs(new Path(root))
+    // unique owner token: release() deletes the lock only if it still
+    // carries OUR token — a concurrent driver may have broken a stale
+    // lock and re-acquired in the meantime
+    val token = s"$owner@${System.currentTimeMillis()}" +
+      s"#${java.util.UUID.randomUUID()}"
     if (fs.exists(lock)) {
       val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-      if (age > staleMs) fs.delete(lock, false)
-      else {
+      if (age > staleMs) {
+        // atomic claim of the stale lock: rename to a unique tomb — of
+        // several racing waiters exactly one rename succeeds; a plain
+        // delete would let waiter B remove waiter A's FRESH lock after A
+        // broke-and-reacquired (TOCTOU)
+        val tomb = new Path(s"$root/lock.stale.${java.util.UUID.randomUUID()}")
+        val claimed =
+          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+        if (claimed) fs.delete(tomb, false)
+        // fall through to the create race below either way
+      } else {
         val holder = readSmallFile(s"$root/lock").getOrElse("?")
         throw new IllegalStateException(
           s"another job is running against $root (lock held by $holder, " +
@@ -162,9 +187,10 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
         throw new IllegalStateException(
           s"another job is running against $root (lost the lock race)")
       }
-    try out.write(s"$owner@${System.currentTimeMillis()}".getBytes("UTF-8"))
+    try out.write(token.getBytes("UTF-8"))
     finally out.close()
-    () => if (fs.exists(lock)) fs.delete(lock, false)
+    () => if (readSmallFile(s"$root/lock").contains(token))
+      fs.delete(lock, false)
   }
 
   def writeSmallFile(path: String, content: String): Unit = {

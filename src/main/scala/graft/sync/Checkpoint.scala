@@ -32,29 +32,52 @@ class Checkpoint(spark: SparkSession, io: TableIO) {
     val dir = new Path(io.checkpointsDir)
     if (!fs.exists(dir)) return Seq.empty
     val files = fs.listStatus(dir).toSeq.filter(_.isFile)
-    val entries = files.flatMap { st =>
-      val in = fs.open(st.getPath)
-      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val ms = Checkpoint.LineRe.findAllMatchIn(content).toSeq
-      if (ms.isEmpty)
-        throw new IllegalStateException(s"corrupt checkpoint file ${st.getPath}")
-      ms.map(m => (m.group(1), m.group(2), m.group(3), m.group(4)))
+    files.flatMap { st =>
+      // a file listed but gone by open time was just rolled up by a
+      // concurrent driver's under-lock compaction (its entries live in
+      // the combined file written BEFORE the originals were deleted;
+      // the worst case is an under-read, which only means a pre-lock
+      // isDone() returns false and the caller then fails at acquireLock
+      // — never a wrong done-flag flip)
+      val content =
+        try {
+          val in = fs.open(st.getPath)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.FileNotFoundException => "" }
+      if (content.isEmpty) Seq.empty
+      else {
+        val ms = Checkpoint.LineRe.findAllMatchIn(content).toSeq
+        if (ms.isEmpty)
+          throw new IllegalStateException(s"corrupt checkpoint file ${st.getPath}")
+        ms.map(m => (m.group(1), m.group(2), m.group(3), m.group(4)))
+      }
     }
-    // log compaction: one file per markDone means O(total-batches-ever)
-    // driver FS ops per startup — roll the log into a single multi-line
-    // file once it sprawls (write-combined-then-delete is crash-safe:
-    // a duplicate entry is a harmless set-union member). Safe under the
-    // single-flight lock: one driver owns the root.
-    if (files.size > Checkpoint.CompactAt) {
-      val lines = entries.map { case (b, p, r, s) =>
-        s"""{"batch_id":"$b","process":"$p","resource":"$r","stage":"$s","done":true}"""
-      }.mkString("", "\n", "\n")
-      val name = s"cp-${System.currentTimeMillis()}-compacted.json"
-      val out = fs.create(new Path(dir, name), false)
-      try out.write(lines.getBytes("UTF-8")) finally out.close()
-      files.foreach(st => fs.delete(st.getPath, false))
-    }
-    entries
+  }
+
+  /** Log compaction: one file per markDone means O(total-batches-ever)
+    * driver FS ops per startup — roll the log into a single multi-line
+    * file once it sprawls (write-combined-then-delete is crash-safe: a
+    * duplicate entry is a harmless set-union member). Runs ONLY from
+    * markDone, i.e. while the caller holds the root's single-flight lock
+    * — the pre-lock readLog path must never delete files a concurrent
+    * driver may be reading.
+    */
+  private def maybeCompact(): Unit = {
+    val dir = new Path(io.checkpointsDir)
+    if (!fs.exists(dir)) return
+    val files = fs.listStatus(dir).toSeq.filter(_.isFile)
+    if (files.size <= Checkpoint.CompactAt) return
+    // re-read the log rather than trusting the in-memory snapshot: the
+    // snapshot may predate lock acquisition (a pre-lock isDone call)
+    // and miss a previous driver's final entries
+    val all = (readLog() ++ doneSet).distinct
+    val lines = all.map { case (b, p, r, s) =>
+      s"""{"batch_id":"$b","process":"$p","resource":"$r","stage":"$s","done":true}"""
+    }.mkString("", "\n", "\n")
+    val name = s"cp-${System.currentTimeMillis()}-compacted.json"
+    val out = fs.create(new Path(dir, name), false)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    files.foreach(st => fs.delete(st.getPath, false))
   }
 
   /** In-memory snapshot of done flags, loaded once per run; markDone
@@ -80,6 +103,7 @@ class Checkpoint(spark: SparkSession, io: TableIO) {
     val out = fs.create(new Path(dir, name), false)
     try out.write(line.getBytes("UTF-8")) finally out.close()
     doneSet += ((batchId, process, resource, stage))
+    maybeCompact() // markDone only runs under the root's job lock
   }
 
   /** Oldest batch with any not-done publish stage for the process. */

@@ -125,15 +125,21 @@ object SyncJob {
       case None => io.writeSmallFile(listFile, names.mkString(","))
       case _ =>
     }
-    val counts = resources.map { case (name, pages) =>
-      if (cp.isDone(batchId, "sync-batch", name, "done")) name -> 0L
-      else {
-        val sub = new TableIO(spark, s"${io.root}/resources/$name")
-        val r = run(spark, sub, pages, batchTs, name)
-        cp.markDone(batchId, "sync-batch", name, "done")
-        name -> r.deltaRows
-      }
-    }.toMap
+    // the parent-root checkpoint is written here, so the parent root
+    // takes its own single-flight lock (sub-roots lock separately inside
+    // run(); paths are disjoint, no deadlock)
+    val release = io.acquireLock(s"sync-batch:$batchId")
+    val counts =
+      try resources.map { case (name, pages) =>
+        if (cp.isDone(batchId, "sync-batch", name, "done")) name -> 0L
+        else {
+          val sub = new TableIO(spark, s"${io.root}/resources/$name")
+          val r = run(spark, sub, pages, batchTs, name)
+          cp.markDone(batchId, "sync-batch", name, "done")
+          name -> r.deltaRows
+        }
+      }.toMap
+      finally release()
     io.deleteDir(s"${io.root}/staging/$batchId")
     BatchResult(batchId, counts)
   }
@@ -163,8 +169,29 @@ object SyncJob {
     val t0 = System.currentTimeMillis()
     val batchId = Checkpoint.toBatchId(batchTs)
     val cp = new Checkpoint(spark, io)
-    if (cp.isDone(batchId, Process, resource, "publish"))
+    // staged secondary maxima live OUTSIDE staging/<batchId>: the publish
+    // stage deletes the staging dir, and a crash between publish and
+    // promotion must not lose the batch's watermark advance (re-runs —
+    // including re-runs of an already-published batch — promote leftovers)
+    val wmStagedPath = s"${io.root}/wm-staged/$batchId"
+    def promoteStaged(): Unit =
+      io.readSmallFile(wmStagedPath).foreach { content =>
+        val staged = content.linesIterator.filter(_.contains('=')).map { l =>
+          val Array(c, ms) = l.split("=", 2)
+          c -> new Timestamp(ms.trim.toLong)
+        }.toMap
+        val merged = (Watermark.read(io).toSeq ++ staged.toSeq)
+          .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).maxBy(_.getTime) }
+        Watermark.write(io, merged)
+        io.deleteDir(wmStagedPath)
+      }
+    if (cp.isDone(batchId, Process, resource, "publish")) {
+      if (io.exists(wmStagedPath)) {
+        val release = io.acquireLock(s"sync:$batchId")
+        try promoteStaged() finally release()
+      }
       return Result(batchId, 0L, 0L)
+    }
 
     val release = io.acquireLock(s"sync:$batchId")
     try Metrics.withBudget(spark, io, batchId, Process, t0) {
@@ -172,8 +199,8 @@ object SyncJob {
       if (!cp.isDone(batchId, Process, resource, "analyze")) timed(batchId, "analyze") {
         val los = Watermark.read(io) + ("warc_ts" -> primaryLo(spark, io))
         val delta = raw.filter(Watermark.predicate(los, batchTs, tsCols))
-        // stash the secondary columns' new maxima for the publish step
-        // (the analyzed projection drops them)
+        // stash the secondary columns' new maxima for post-publish
+        // promotion (the analyzed projection drops them)
         val extras = tsCols.tail
         if (extras.nonEmpty) {
           val r = delta.agg(max(col(extras.head)),
@@ -181,8 +208,9 @@ object SyncJob {
           val maxes = extras.zipWithIndex.flatMap { case (c, i) =>
             Option(r.getTimestamp(i)).map(c -> _)
           }
-          io.writeSmallFile(s"${io.root}/staging/$batchId/watermarks",
-            maxes.map { case (c, t) => s"$c=${t.getTime}" }.mkString("\n"))
+          if (maxes.nonEmpty)
+            io.writeSmallFile(wmStagedPath,
+              maxes.map { case (c, t) => s"$c=${t.getTime}" }.mkString("\n"))
         }
         val pageCols = Seq("url", "warc_ts", "html", "text", "lang")
         io.writeParquet(
@@ -191,19 +219,10 @@ object SyncJob {
           analyzedDir)
         cp.markDone(batchId, Process, resource, "analyze")
       }
-      val stagedMaxes = io.readSmallFile(s"${io.root}/staging/$batchId/watermarks")
       val r = runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
-      // promote the secondary watermarks after publish (idempotent: a
-      // crash before this line just re-selects some rows next batch)
-      stagedMaxes.foreach { content =>
-        val staged = content.linesIterator.filter(_.contains('=')).map { l =>
-          val Array(c, ms) = l.split("=", 2)
-          c -> new Timestamp(ms.trim.toLong)
-        }.toMap
-        val merged = (Watermark.read(io).toSeq ++ staged.toSeq)
-          .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).maxBy(_.getTime) }
-        Watermark.write(io, merged)
-      }
+      // promote the secondary watermarks after publish (idempotent max
+      // merge; the staged file is deleted only after a successful write)
+      promoteStaged()
       r
     } finally release()
   }

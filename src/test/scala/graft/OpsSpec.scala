@@ -186,15 +186,83 @@ class OpsSpec extends SparkTestBase {
     (1 to Checkpoint.CompactAt + 20).foreach { i =>
       cp.markDone(s"b$i", "sync", "pages", "publish")
     }
-    // a fresh instance loads the sprawled log and rolls it up
+    // markDone rolled the log up when it crossed the threshold (it runs
+    // under the job lock — the pre-lock read path never deletes files);
+    // the file count stays bounded and no flag is lost
+    val files = new java.io.File(io.checkpointsDir).listFiles()
+    assert(files.length <= Checkpoint.CompactAt,
+      s"log not compacted: ${files.length} files")
     val cp2 = new Checkpoint(spark, io)
     assert(cp2.isDone("b1", "sync", "pages", "publish"))
     assert(cp2.isDone(s"b${Checkpoint.CompactAt + 20}", "sync", "pages", "publish"))
-    val files = new java.io.File(io.checkpointsDir).listFiles()
-    assert(files.length <= 2, s"log not compacted: ${files.length} files")
     // flags survive another reload
     val cp3 = new Checkpoint(spark, io)
     assert(cp3.isDone("b7", "sync", "pages", "publish"))
     assert(cp3.oldestUnfinished("sync").isEmpty)
+  }
+
+  test("gcVersions: crash leftovers (manifest-less version, in-flight segment) survive") {
+    val root = tmpDir("graft-gccrash")
+    val io = new TableIO(spark, root)
+    SyncJob.run(spark, io, Corpus.pages(spark, 100, 2), ts(100))
+    SyncJob.run(spark, io, Corpus.pages(spark, 110, 2), ts(110))
+    SyncJob.run(spark, io, Corpus.pages(spark, 120, 2), ts(120))
+    val published = io.currentVersion().get
+
+    // simulate a batch that crashed mid-merge AFTER adopting its staged
+    // segment by rename but BEFORE writing its manifest: a version dir
+    // with no manifest + a segment newer than the newest published version
+    val crashed = "9999-01-01-T-00-00-00-000Z" // sorts after any real batch
+    io.writeSmallFile(s"${io.versionDir(crashed)}/dict/part-0.json", "{}")
+    io.writeSmallFile(s"${io.segmentDir(crashed)}/docs/part-0.json", "{}")
+    // and an old orphan segment no manifest references (safe to GC)
+    io.writeSmallFile(s"${io.segmentDir("1970-orphan")}/docs/p.json", "{}")
+
+    io.gcVersions() // must not throw on the manifest-less version
+    assert(io.exists(io.segmentDir(crashed)),
+      "in-flight segment (newer than newest published) was GC'd")
+    assert(io.exists(io.versionDir(crashed)),
+      "manifest-less version dir was GC'd")
+    assert(!io.exists(io.segmentDir("1970-orphan")),
+      "old unreferenced segment should be GC'd")
+    assert(io.currentVersion().contains(published))
+    // the index still reads fine
+    assert(new IndexReader(spark, root).stats.n == 120)
+  }
+
+  test("lock release verifies ownership: a broken-and-reacquired lock survives") {
+    val root = tmpDir("graft-locktok")
+    val io = new TableIO(spark, root)
+    val releaseA = io.acquireLock("job-a")
+    // B observes A's lock as stale (staleMs = -1), breaks it, acquires its own
+    val releaseB = io.acquireLock("job-b", staleMs = -1L)
+    // A's delayed release must NOT delete B's fresh lock
+    releaseA()
+    intercept[IllegalStateException] { io.acquireLock("job-c") }
+    releaseB()
+    io.acquireLock("job-d")()
+  }
+
+  test("runMultiTs: crash between publish and promotion does not lose the advance") {
+    val root = tmpDir("graft-wmcrash")
+    val io = new TableIO(spark, root)
+    def raw(n: Long) = Corpus.pages(spark, n, 2)
+      .withColumn("photo_ts", col("warc_ts"))
+    val r1 = SyncJob.runMultiTs(spark, io, raw(50), Seq("warc_ts", "photo_ts"),
+      ts(50))
+    assert(r1.deltaRows == 50)
+    val promoted = Watermark.read(io)("photo_ts")
+
+    // simulate the crash: publish done, but the staged maxima were never
+    // promoted (write a leftover wm-staged file with a newer value)
+    val newer = promoted.getTime + 999000L
+    io.writeSmallFile(s"$root/wm-staged/${r1.batchId}", s"photo_ts=$newer")
+    // re-running the already-published batch promotes the leftovers
+    val r2 = SyncJob.runMultiTs(spark, io, raw(50), Seq("warc_ts", "photo_ts"),
+      ts(50))
+    assert(r2.deltaRows == 0L)
+    assert(Watermark.read(io)("photo_ts").getTime == newer,
+      "leftover staged watermark was not promoted on re-run")
+    assert(!io.exists(s"$root/wm-staged/${r1.batchId}"))
   }
 }
