@@ -51,22 +51,37 @@ class IndexReader(spark: SparkSession, root: String) {
       r.getAs[Long]("sumDl"))
   }
 
-  /** Tombstones, collected once per reader (bounded: compaction resets
-    * the set every compactThreshold batches; production would hold them
-    * as per-segment bitmaps, Lucene's liveDocs).
+  /** True when the tombstone set is too large to hold on the driver —
+    * every dead-check then runs distributed (anti-join over docs, per-
+    * bucket cogroup in topK) and the set is never collected. Below the
+    * threshold the set is bounded anyway: compaction is forced at
+    * max(n/5, graft.tombstones.max) rows.
+    */
+  val deadDistributed: Boolean =
+    tombstoneCount > graft.sync.Tables.deadBroadcastMax
+
+  private def tombstonesDf =
+    io.readParquet(s"${io.versionDir(version)}/tombstones")
+
+  /** Tombstones, collected once per reader when small enough to
+    * broadcast; empty (with [[deadDistributed]] set) otherwise —
+    * production analog: per-segment bitmaps, Lucene's liveDocs.
     */
   val dead: Map[Long, String] =
-    if (tombstoneCount == 0) Map.empty
-    else io.readParquet(s"${io.versionDir(version)}/tombstones")
-      .as[Tombstone].collect().map(t => t.docId -> t.before).toMap
+    if (tombstoneCount == 0 || deadDistributed) Map.empty
+    else tombstonesDf.as[Tombstone].collect().map(t => t.docId -> t.before).toMap
 
-  /** Live doc rows (tombstone-filtered; no join when the set is empty). */
+  /** Live doc rows (tombstone-filtered; no join when the set is empty,
+    * broadcast join when it is small, shuffle join when it is large).
+    */
   val docs: DataFrame = {
     val raw = spark.read.parquet(segPaths("docs"): _*)
-    if (dead.isEmpty) raw
+    if (tombstoneCount == 0) raw
     else {
-      val t = dead.toSeq.toDF("t_docId", "t_before")
-      raw.join(broadcast(t),
+      val t =
+        if (dead.nonEmpty) broadcast(dead.toSeq.toDF("t_docId", "t_before"))
+        else tombstonesDf.toDF("t_docId", "t_before")
+      raw.join(t,
         raw("docId") === $"t_docId" && raw("batch_id") < $"t_before",
         "left_anti")
     }
@@ -127,11 +142,14 @@ class IndexReader(spark: SparkSession, root: String) {
     // distributed path — no wasted probe job on stopword queries
     val minBlocks = dfMap.valuesIterator
       .map(df => (df + 127) / 128).sum
+    // the local (driver WAND) path requires the dead Map; a distributed-
+    // only tombstone set forces the per-bucket path for correctness
+    val localOk = minBlocks <= LocalEvalMaxBlocks && !deadDistributed
     val probe: Array[IndexBlock] =
-      if (minBlocks > LocalEvalMaxBlocks) Array.empty
+      if (!localOk) Array.empty
       else filtered.limit(LocalEvalMaxBlocks + 1).collect()
     val candidates: Array[Hit] =
-      if (minBlocks <= LocalEvalMaxBlocks && probe.length <= LocalEvalMaxBlocks) {
+      if (localOk && probe.length <= LocalEvalMaxBlocks) {
         if (probe.isEmpty) return Array.empty
         probe.groupBy(_.bucket).toSeq
           .flatMap { g =>
@@ -140,7 +158,7 @@ class IndexReader(spark: SparkSession, root: String) {
             else Wand.taatInBucket(byTerm, idf, avgdl, k, dead)
           }
           .toArray
-      } else {
+      } else if (!deadDistributed) {
         // stopword-scale posting set: per-bucket WAND, moving only the
         // query terms' compressed blocks
         val bIdf = spark.sparkContext.broadcast(idf)
@@ -154,6 +172,29 @@ class IndexReader(spark: SparkSession, root: String) {
                 Wand.topKInBucket(byTerm, bIdf.value, avgdl, k, bDead.value)
               else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k, bDead.value)
             hits.iterator
+          }.collect()
+      } else {
+        // huge tombstone set: cogroup the query blocks with the
+        // tombstones BY BUCKET — each bucket's WAND sees only its own
+        // dead entries and the full set never converges on the driver
+        // (the tombstone shuffle moves ≤ the set once, partitioned)
+        val bIdf = spark.sparkContext.broadcast(idf)
+        val tombsByBucket = tombstonesDf.as[Tombstone]
+          .groupByKey(t => graft.index.DocIds.bucket(t.docId))
+        filtered
+          .groupByKey(_.bucket)
+          .cogroup(tombsByBucket) { (_, blocks, ts) =>
+            val blockArr = blocks.toArray
+            if (blockArr.isEmpty) Iterator.empty
+            else {
+              val deadMap = ts.map(t => t.docId -> t.before).toMap
+              val byTerm = blockArr.groupBy(_.term).toSeq
+              val hits =
+                if (useWand)
+                  Wand.topKInBucket(byTerm, bIdf.value, avgdl, k, deadMap)
+                else Wand.taatInBucket(byTerm, bIdf.value, avgdl, k, deadMap)
+              hits.iterator
+            }
           }.collect()
       }
     candidates

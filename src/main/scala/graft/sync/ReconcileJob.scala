@@ -67,7 +67,7 @@ object ReconcileJob {
       // S4/J4: fetch full records for the id list via semi join
       val toIndex = pages.join(missingOrChanged, Seq("url"), "left_semi")
         .as[PageRow]
-      io.writeParquet(SegmentBuilder.analyze(toIndex).toDF(), analyzedDir)
+      Tables.writeFwd(SegmentBuilder.analyze(toIndex).toDF(), analyzedDir)
       cp.markDone(batchId, Process, resource, "analyze")
     }
 

@@ -92,7 +92,9 @@ object SyncJob {
       val pred = Watermark.predicate(
         Map("warc_ts" -> primaryLo(spark, io)), batchTs, Seq("warc_ts"))
       val delta = pages.filter(pred)
-      io.writeParquet(SegmentBuilder.analyze(delta).toDF(), analyzedDir)
+      // fwd is the adopted analyzed output: write it bucketed by docId so
+      // later update batches open only their affected buckets
+      Tables.writeFwd(SegmentBuilder.analyze(delta).toDF(), analyzedDir)
       cp.markDone(batchId, Process, resource, "analyze")
     }
 
@@ -213,7 +215,7 @@ object SyncJob {
               maxes.map { case (c, t) => s"$c=${t.getTime}" }.mkString("\n"))
         }
         val pageCols = Seq("url", "warc_ts", "html", "text", "lang")
-        io.writeParquet(
+        Tables.writeFwd(
           SegmentBuilder.analyze(
             delta.select(pageCols.map(col): _*).as[PageRow]).toDF(),
           analyzedDir)
@@ -244,7 +246,7 @@ object SyncJob {
 
     // ---- segment -----------------------------------------------------
     if (!cp.isDone(batchId, process, resource, "segment")) timed(batchId, "segment") {
-      val analyzed = io.readParquet(analyzedDir)
+      val analyzed = Tables.readFwdDir(spark, analyzedDir)
       // docs first (column-pruned: the tfs map column is never read),
       // then the collision check runs on the small written docs table,
       // piggybacking the delta row count (stashed FS-side for publish —

@@ -31,9 +31,10 @@ import graft.sources.TableIO
   * docs bit-for-bit (the rank-identity gate), so appends subtract the
   * killed docs' term stats, looked up in the segments' forward tables
   * (`fwd` = the analyzed pages, adopted by rename at zero write cost).
-  * That lookup is the one O(corpus-read) pass of an append (2 pruned
-  * columns); writes stay O(delta). Production Iceberg prunes it further
-  * with bucket(docId) clustering + bloom filters.
+  * That lookup reads fwd's heavy `tfs` column, so it is skipped entirely
+  * for pure-append batches (narrow docId pre-check) and restricted to
+  * the affected docId buckets otherwise (fwd is written partitioned by
+  * `fb=hash-bucket(docId)`); writes stay O(delta).
   */
 object Tables {
 
@@ -50,14 +51,102 @@ object Tables {
     */
   val PurgeSentinel = "~"
 
+  /** Absolute tombstone-row ceiling: past this, compaction is forced
+    * regardless of the n/5 ratio. The ratio alone permits 2×10¹¹ rows at
+    * 10¹² docs — far past what any single data structure should hold —
+    * so the absolute cap bounds the tombstone table independently of
+    * corpus size (overridable for tests / deployments).
+    */
+  def tombstoneAbsoluteCap: Long =
+    sys.props.get("graft.tombstones.max")
+      .orElse(sys.env.get("GRAFT_TOMBSTONES_MAX"))
+      .map(_.toLong).getOrElse(10000000L)
+
+  /** Tombstone-row count up to which the dead set is collected and
+    * broadcast as a driver Map (the cheap path: no shuffle, O(1) probe
+    * at decode). Above it every dead-check runs as a distributed join /
+    * per-bucket cogroup — the driver never materializes the set.
+    */
+  def deadBroadcastMax: Long =
+    sys.props.get("graft.tombstones.broadcastMax")
+      .orElse(sys.env.get("GRAFT_TOMBSTONES_BROADCAST_MAX"))
+      .map(_.toLong).getOrElse(5000000L)
+
+  /** Broadcast a small frame, leave a big one to the join planner. */
+  private[graft] def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= deadBroadcastMax) broadcast(df) else df
+
+  // ---- fwd bucketing ---------------------------------------------------
+
+  /** fwd tables are written partitioned by `fb = top-bits(docId)` so the
+    * update-path killed lookup (which needs fwd's heavy `tfs` column)
+    * opens ONLY the affected docIds' buckets instead of scanning the
+    * corpus. 2^bits buckets: a batch updating k docs touches ≤ k of them,
+    * so the read is O(corpus · min(1, k/2^bits)). Production sets bits
+    * high (16 → 65536 buckets); the default 8 keeps small-scale file
+    * counts sane.
+    */
+  def fwdBucketBits: Int =
+    sys.props.get("graft.fwd.bucketBits")
+      .orElse(sys.env.get("GRAFT_FWD_BUCKET_BITS"))
+      .map(_.toInt).getOrElse(8)
+
+  private[graft] def fbExpr: org.apache.spark.sql.Column =
+    expr(s"cast(shiftrightunsigned(docId, ${64 - fwdBucketBits}) as int)")
+
+  /** Explicit fwd read schema: no footer-inference job, and an empty fwd
+    * dir (a 0-row batch writes only _SUCCESS under partitionBy) still
+    * reads as 0 rows instead of failing schema inference.
+    */
+  private[graft] val FwdSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[graft.index.AnalyzedPage].schema
+
+  /** Write an analyzed/fwd frame partitioned by docId bucket (one
+    * repartition so each bucket lands as one file, not one per task).
+    */
+  def writeFwd(analyzed: DataFrame, path: String): Unit =
+    analyzed.withColumn("fb", fbExpr)
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(path)
+
+  /** One fwd/analyzed dir with the explicit schema (fb rides along from
+    * the partition dirs when present).
+    */
+  def readFwdDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(FwdSchema).parquet(path)
+
+  /** fwd rows of ONLY the given buckets: path-level pruning — the
+    * unaffected buckets' files are never even listed, so the heavy tfs
+    * bytes of untouched docs are structurally unreadable, not merely
+    * filtered (LsmSpec asserts the byte bound).
+    */
+  def readFwdPruned(spark: SparkSession, io: TableIO, segments: Seq[String],
+                    buckets: Seq[Int]): DataFrame = {
+    val fbs = buckets.distinct.sorted
+    segments.map { s =>
+      val base = s"${io.segmentDir(s)}/fwd"
+      val dirs = fbs.map(fb => s"$base/fb=$fb").filter(io.exists)
+      val df =
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FwdSchema)
+        else spark.read.schema(FwdSchema).option("basePath", base)
+          .parquet(dirs: _*).drop("fb")
+      df.withColumn("seg", lit(s))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Compact when the manifest sprawls OR the tombstone set outgrows a
     * fifth of the live corpus — the latter guards purge-heavy workloads
     * that never add segments (dead postings would otherwise accumulate
-    * without bound; Lucene's deletes-percentage merge trigger).
+    * without bound; Lucene's deletes-percentage merge trigger) — OR the
+    * set passes the absolute row cap (bounds tombstone storage and the
+    * dead-check cost independently of corpus size).
     */
   def needsCompaction(t: IndexTables): Boolean =
     t.segments.size >= compactThreshold ||
-      (t.stats.n > 0 && t.tombstoneCount > t.stats.n / 5)
+      (t.stats.n > 0 && t.tombstoneCount > t.stats.n / 5) ||
+      t.tombstoneCount > tombstoneAbsoluteCap
 
   // ---- load ----------------------------------------------------------
 
@@ -94,7 +183,7 @@ object Tables {
       val spark = docsRaw.sparkSession
       import spark.implicits._
       val t = tombs.toDF("t_docId", "t_before")
-      docsRaw.join(broadcast(t),
+      docsRaw.join(maybeBroadcast(t, tombCount),
           docsRaw("docId") === col("t_docId") &&
             docsRaw("batch_id") < col("t_before"), "left_anti")
         .as[DocRow]
@@ -109,7 +198,8 @@ object Tables {
   def readFwd(spark: SparkSession, io: TableIO,
               segments: Seq[String]): DataFrame =
     segments.map { s =>
-      io.readParquet(s"${io.segmentDir(s)}/fwd").withColumn("seg", lit(s))
+      readFwdDir(spark, s"${io.segmentDir(s)}/fwd").drop("fb")
+        .withColumn("seg", lit(s))
     }.reduce(_.unionByName(_))
 
   // ---- initial build ---------------------------------------------------
@@ -197,7 +287,9 @@ object Tables {
     // leave the dict, their doclen leaves the corpus stats. A narrow
     // pre-check on the docs tables' docId column decides whether the
     // (wider) fwd lookup is needed at all — a pure-append batch (new urls
-    // only, the crawl steady state) skips it entirely.
+    // only, the crawl steady state) skips it entirely; an update batch
+    // opens ONLY the affected docId buckets of fwd (path-level pruning),
+    // so the heavy tfs column is read O(affected-buckets), not O(corpus).
     val tombsDf = old.tombstones.toDF("t_docId", "t_before")
     val nExisting = spark.read
       .parquet(old.segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
@@ -208,13 +300,16 @@ object Tables {
       if (nExisting == 0)
         spark.emptyDataset[(Long, String, Int, Map[String, Int])]
           .toDF("docId", "url", "doclen", "tfs")
-      else readFwd(spark, io, old.segments)
-        .select($"docId", $"url", $"doclen", $"tfs", $"seg")
-        .join(broadcast(affected), Seq("docId"))
-        .join(broadcast(tombsDf),
-          $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
-        .select($"docId", $"url", $"doclen", $"tfs")
-      ).persist()
+      else {
+        val affectedFb = affected.select(fbExpr.as("fb"))
+          .distinct().as[Int].collect().toSeq // bounded by 2^fwdBucketBits
+        readFwdPruned(spark, io, old.segments, affectedFb)
+          .select($"docId", $"url", $"doclen", $"tfs", $"seg")
+          .join(broadcast(affected), Seq("docId"))
+          .join(maybeBroadcast(tombsDf, old.tombstoneCount),
+            $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
+          .select($"docId", $"url", $"doclen", $"tfs")
+      }).persist()
     try {
       // cross-batch xxhash64 collision check: a delta url landing on a
       // previously indexed docId must be the SAME url (an update), else
@@ -280,10 +375,16 @@ object Tables {
       val keptOld = old.tombstones.toDF()
         .join(broadcast(newTombRows.select($"docId")), Seq("docId"),
           "left_anti")
-      val allTombs = keptOld.unionByName(newTombRows).coalesce(1).persist()
+      val allTombs = keptOld.unionByName(newTombRows).persist()
       val tombCount = allTombs.count()
-      if (tombCount > 0)
-        io.writeParquet(allTombs, s"${io.versionDir(batchId)}/tombstones")
+      // partitioned tombstone files, sized by row count: one file while
+      // the set is small, ~4M rows per file past that — never a single
+      // driver-squeezed coalesce(1) file at scale
+      if (tombCount > 0) {
+        val parts = math.min(tombCount / 4000000L + 1L, 1024L).toInt
+        io.writeParquet(allTombs.coalesce(parts),
+          s"${io.versionDir(batchId)}/tombstones")
+      }
       allTombs.unpersist()
 
       writeStats(spark, io, batchId,
@@ -314,21 +415,41 @@ object Tables {
     val baseIndex =
       io.readParquet(s"${io.segmentDir(baseSeg)}/index").as[IndexBlock]
 
+    // size-adaptive dead-check: a small tombstone set rides along as a
+    // broadcast Map (O(1) probe inside the decode loop, no extra
+    // shuffle); a large one never touches the driver — the decode
+    // attaches the owning batch and a distributed anti-join drops the
+    // dead postings
+    val useDeadMap = old.tombstoneCount <= deadBroadcastMax
     val dead: Map[Long, String] =
-      old.tombstones.collect().map(t => t.docId -> t.before).toMap
+      if (!useDeadMap) Map.empty
+      else old.tombstones.collect().map(t => t.docId -> t.before).toMap
     val bDead = spark.sparkContext.broadcast(dead)
 
     def liveTailPostings: Dataset[Posting] =
       if (tailSegs.isEmpty) spark.emptyDataset[Posting]
-      else spark.read
-        .parquet(tailSegs.map(s => s"${io.segmentDir(s)}/index"): _*)
-        .as[IndexBlock]
-        .flatMap { b =>
-          val d = bDead.value
-          SegmentBuilder.decodeBlock(b).filter { p =>
-            d.get(p.docId).forall(before => !(b.batch_id < before))
+      else {
+        val blocks = spark.read
+          .parquet(tailSegs.map(s => s"${io.segmentDir(s)}/index"): _*)
+          .as[IndexBlock]
+        if (useDeadMap)
+          blocks.flatMap { b =>
+            val d = bDead.value
+            SegmentBuilder.decodeBlock(b).filter { p =>
+              d.get(p.docId).forall(before => !(b.batch_id < before))
+            }
           }
-        }
+        else
+          blocks.flatMap { b =>
+              SegmentBuilder.decodeBlock(b)
+                .map(p => (p.term, p.bucket, p.docId, p.tf, p.dl, b.batch_id))
+            }
+            .toDF("term", "bucket", "docId", "tf", "dl", "seg_batch")
+            .join(old.tombstones.toDF("t_docId", "t_before"),
+              $"docId" === $"t_docId" && $"seg_batch" < $"t_before",
+              "left_anti")
+            .select($"term", $"bucket", $"docId", $"tf", $"dl").as[Posting]
+      }
     def liveTailDocs: Dataset[DocRow] =
       if (tailSegs.isEmpty) spark.emptyDataset[DocRow]
       else liveDocs(
@@ -341,7 +462,7 @@ object Tables {
         (io.readParquet(docsDir).as[DocRow],
           io.readParquet(blocksDir).as[IndexBlock]
             .flatMap(SegmentBuilder.decodeBlock _),
-          Some(io.readParquet(analyzedDir)))
+          Some(readFwdDir(spark, analyzedDir).drop("fb")))
       case None =>
         (spark.emptyDataset[DocRow], spark.emptyDataset[Posting], None)
     }
@@ -372,7 +493,7 @@ object Tables {
     // the docs merge
     val tombsDf = old.tombstones.toDF("t_docId", "t_before")
     val oldFwdLive = readFwd(spark, io, old.segments)
-      .join(broadcast(tombsDf),
+      .join(maybeBroadcast(tombsDf, old.tombstoneCount),
         $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
       .join(broadcast(overridden), Seq("docId"), "left_anti")
       .drop("seg")
@@ -380,7 +501,7 @@ object Tables {
       case Some(f) => oldFwdLive.unionByName(f)
       case None => oldFwdLive
     }
-    io.writeParquet(fwdNew, s"$seg/fwd")
+    writeFwd(fwdNew, s"$seg/fwd")
     deriveDictStats(spark, io, batchId, Seq(batchId))
   }
 }

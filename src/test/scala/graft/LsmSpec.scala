@@ -172,6 +172,159 @@ class LsmSpec extends SparkTestBase {
     assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
   }
 
+  test("absolute tombstone cap forces compaction below the n/5 ratio") {
+    val prev = sys.props.get("graft.tombstones.max")
+    sys.props("graft.tombstones.max") = "50"
+    try {
+      val root = tmpDir("graft-tombcap")
+      val io = new TableIO(spark, root)
+      val N = 500
+      val rows = Corpus.localRows(N)
+      SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+      def keepUnder(limit: Int) = rows.filter(_.url.split("/").last.toInt < limit)
+      // purge 60 docs: 12% of the corpus — below the n/5 ratio trigger,
+      // past the absolute row cap
+      PurgeJob.run(spark, io, spark.createDataset(keepUnder(440)), ts(N + 1))
+      assert(io.readManifest(io.currentVersion().get)._2 == 60)
+      // the next batch sees 60 > 50 and must fold
+      PurgeJob.run(spark, io, spark.createDataset(keepUnder(435)), ts(N + 2))
+      val (segs, tombs) = io.readManifest(io.currentVersion().get)
+      assert(segs.size == 1 && tombs == 0,
+        s"absolute cap did not force compaction: $segs / $tombs")
+      val live = keepUnder(435)
+      val oracle = new NaiveIndex(live)
+      val reader = new IndexReader(spark, root)
+      assert(reader.stats.n == oracle.n)
+      val got = reader.topK("document", 10).map(h => (h.docId, h.score)).toSeq
+      assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.tombstones.max") = v
+        case None => sys.props.remove("graft.tombstones.max")
+      }
+    }
+  }
+
+  test("distributed dead-check (broadcastMax=0): join/cogroup == oracle") {
+    val prevBc = sys.props.get("graft.tombstones.broadcastMax")
+    val prevSeg = sys.props.get("graft.compact.segments")
+    sys.props("graft.tombstones.broadcastMax") = "0"
+    sys.props("graft.compact.segments") = "99" // keep segments until we choose
+    def urlIdx(p: PageRow): Int = p.url.split("/").last.toInt
+    try {
+      val root = tmpDir("graft-deadjoin")
+      val io = new TableIO(spark, root)
+      val N = 500
+      val rows = Corpus.localRows(N)
+      SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+      // purge docs [440, 500): 60 tombstones (below the n/5 ratio)
+      PurgeJob.run(spark, io,
+        spark.createDataset(rows.filter(urlIdx(_) < 440)), ts(N + 1))
+      // update docs [0, 50): 50 more tombstones via the (non-broadcast)
+      // killed lookup; postings replaced in a second segment
+      val upd = rows.map(p =>
+        if (urlIdx(p) < 50)
+          p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(urlIdx(p) + 10L * N)))
+        else p)
+      SyncJob.run(spark, io,
+        spark.createDataset(upd.filter(urlIdx(_) < 440)), ts(11L * N))
+
+      val live = upd.filter(urlIdx(_) < 440)
+      val oracle = new NaiveIndex(live)
+      val reader = new IndexReader(spark, root)
+      assert(reader.deadDistributed && reader.dead.isEmpty,
+        "broadcastMax=0 must force the distributed dead paths")
+      assert(reader.docs.count() == oracle.n)
+      assert(reader.stats.n == oracle.n)
+      assert(reader.stats.avgdl == oracle.avgdl)
+      // small query (would be driver-local) and a stopword-scale one —
+      // both must route through the per-bucket cogroup and stay exact
+      Seq("rare07 document", "document", "the of and", "w0003 w0007").foreach { q =>
+        val got = reader.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+        val want = oracle.topK(q, 10).map(h => (h.docId, h.score)).toSeq
+        assert(got == want, s"'$q' diverged on the distributed dead path")
+      }
+
+      // compaction through the join paths (useDeadMap=false): fold with
+      // 150 tombstones present, answers unchanged
+      sys.props("graft.compact.segments") = "2"
+      val upd2 = upd.map(p =>
+        if (urlIdx(p) >= 50 && urlIdx(p) < 60)
+          p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(urlIdx(p) + 20L * N)))
+        else p)
+      SyncJob.run(spark, io,
+        spark.createDataset(upd2.filter(urlIdx(_) < 440)), ts(21L * N))
+      val (segs, tombs) = io.readManifest(io.currentVersion().get)
+      assert(segs.size == 1 && tombs == 0, s"expected compaction: $segs / $tombs")
+      val live2 = upd2.filter(urlIdx(_) < 440)
+      val oracle2 = new NaiveIndex(live2)
+      val reader2 = new IndexReader(spark, root)
+      assert(reader2.stats.n == oracle2.n)
+      assert(reader2.stats.avgdl == oracle2.avgdl)
+      val got2 = reader2.topK("document", 10).map(h => (h.docId, h.score)).toSeq
+      assert(got2 == oracle2.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+    } finally {
+      prevBc match {
+        case Some(v) => sys.props("graft.tombstones.broadcastMax") = v
+        case None => sys.props.remove("graft.tombstones.broadcastMax")
+      }
+      prevSeg match {
+        case Some(v) => sys.props("graft.compact.segments") = v
+        case None => sys.props.remove("graft.compact.segments")
+      }
+    }
+  }
+
+  test("update-path fwd lookup opens only affected buckets (byte bound)") {
+    val root = tmpDir("graft-fwdbuckets")
+    val io = new TableIO(spark, root)
+    val N = 2000
+    val rows = Corpus.localRows(N)
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+    val seg1 = io.readManifest(io.currentVersion().get)._1.head
+    val fwdBase = s"${io.segmentDir(seg1)}/fwd"
+
+    // the bucketed layout exists: ~2^fwdBucketBits fb= dirs
+    val shift = 64 - graft.sync.Tables.fwdBucketBits
+    val fbDirs = new java.io.File(fwdBase).listFiles()
+      .filter(_.getName.startsWith("fb=")).map(_.getName)
+    assert(fbDirs.length > 200, s"expected ~256 fwd buckets, got ${fbDirs.length}")
+
+    // a 0.5% update (10 docs) touches ≤ 10 buckets — the killed lookup's
+    // tfs read is bounded by those buckets' bytes, < 10% of fwd
+    val updIdx = (0 until 10).map(_ * 97L)
+    val affectedIds = updIdx.map(i => graft.index.DocIds.docId(Corpus.url(i)))
+    val fbs = affectedIds.map(d => (d >>> shift).toInt).distinct
+    val prunedBytes = fbs.map(fb => io.dirBytes(s"$fwdBase/fb=$fb")).sum
+    val totalBytes = io.dirBytes(fwdBase)
+    assert(prunedBytes < totalBytes / 10,
+      s"pruned read $prunedBytes bytes vs $totalBytes total — not O(affected)")
+
+    // the pruned read returns exactly the affected buckets' rows
+    val pruned = graft.sync.Tables.readFwdPruned(spark, io, Seq(seg1), fbs)
+      .select("docId").as[Long].collect().toSet
+    val fbSet = fbs.toSet
+    val wantIds = rows.map(p => graft.index.DocIds.docId(p.url))
+      .filter(d => fbSet((d >>> shift).toInt)).toSet
+    assert(pruned == wantIds)
+    assert(affectedIds.forall(pruned))
+
+    // and the update batch that exercises this path stays exact
+    val upd = rows.map { p =>
+      val i = p.url.split("/").last.toLong
+      if (updIdx.contains(i))
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(i + 10L * N)))
+      else p
+    }
+    SyncJob.run(spark, io, spark.createDataset(upd), ts(11L * N))
+    val oracle = new NaiveIndex(upd)
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == oracle.n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    val got = reader.topK("document", 10).map(h => (h.docId, h.score)).toSeq
+    assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+  }
+
   test("query with a dict-dead term (df hit 0 under churn) must not crash") {
     // regression: appendVersion drops a term from the dict when its df
     // reaches 0, but its dead postings stay physically in the old
