@@ -388,27 +388,84 @@ object SparkEntry {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir)
-    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
-    val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-  }
+  /** Candidate pairs, cached per (session, dir): q_dedup_minhash and
+    * q_dedup_jaccard share one pipeline run — the verifier must not pay
+    * the shingle→signature→band cost twice (the cached frame is tiny:
+    * the candidate PAIRS, not the bands).
+    */
+  private val minhashCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashCandCache.computeIfAbsent((s, dir), _ => {
+      val bands = minhashBands(s, dir)
+      val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
+      val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
+      a.join(b, Seq("band", "bh")).where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+        .persist()
+    })
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashCandidates(s, dir).orderBy(col("d1"), col("d2"))
 
-  /** SimHash (16-bit, md5-nibble hyperplanes) per document. */
-  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** 64-bit SimHash (md5-bit hyperplanes, tf-weighted ±1 votes per
+    * occurrence), reported as two 32-bit halves in bigint columns
+    * (hi = bits 33..64, lo = bits 1..32) so neither engine risks
+    * signed-64 overflow on the top bit. Bit b of a term's hyperplane
+    * vector is bit (b-1)%4 of md5 hex digit ceil(b/4).
+    */
+  private def simhashHalves(s: SparkSession, dir: String): DataFrame = {
     val th = tok(s, dir).select(col("doc_id"), md5(col("term")).as("h"))
-    th.crossJoin(s.range(1, 17).select(col("id").cast("int").as("b")))
+    th.crossJoin(s.range(1, 65).select(col("id").cast("int").as("b")))
+      .select(col("doc_id"), col("b"),
+        expr("cast(conv(substring(h, (b+3) div 4, 1), 16, 10) as int)").as("v"))
       .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("substring(h, b, 1)") >= "8", 1).otherwise(-1)).as("s"))
+      .agg(sum(when(
+        expr("cast(floor(v / pow(2, (b-1) % 4)) as int) % 2") === 1, 1)
+        .otherwise(-1)).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2), col("b") - 1).cast("bigint")).otherwise(0L)).as("simhash"))
-      .orderBy(col("doc_id"))
+      .agg(
+        sum(when(col("s") > 0 && col("b") > 32,
+          pow(lit(2), col("b") - 33).cast("bigint")).otherwise(0L))
+          .as("simhash_hi"),
+        sum(when(col("s") > 0 && col("b") <= 32,
+          pow(lit(2), col("b") - 1).cast("bigint")).otherwise(0L))
+          .as("simhash_lo"))
+  }
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashHalves(s, dir).orderBy(col("doc_id"))
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits; pairs sharing any
+    * band are candidates (pigeonhole: Hamming ≤ 3 over 64 bits cannot
+    * break all 4 bands), then the exact Hamming distance verifies ≤ 3.
+    * The band join is a bucket join — never all-pairs.
+    */
+  private def qSimhashNear(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashHalves(s, dir)
+    val bands = sh.select(col("doc_id"), explode(array(
+      struct(lit(0).as("bi"), (col("simhash_lo") % 65536).as("bv")),
+      struct(lit(1).as("bi"), expr("simhash_lo div 65536").as("bv")),
+      struct(lit(2).as("bi"), (col("simhash_hi") % 65536).as("bv")),
+      struct(lit(3).as("bi"), expr("simhash_hi div 65536").as("bv"))))
+        .as("bd"))
+      .select(col("doc_id"), col("bd.bi").as("bi"), col("bd.bv").as("bv"))
+    val cand = bands.select(col("doc_id").as("d1"), col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("d2"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("simhash_hi").as("h1"),
+        col("simhash_lo").as("l1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("simhash_hi").as("h2"),
+        col("simhash_lo").as("l2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("cast(bit_count(l1 ^ l2) + bit_count(h1 ^ h2) as int)")
+          .as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
   }
 
   /** Token-set Jaccard as the MinHash candidate VERIFIER: exact Jaccard
@@ -514,19 +571,25 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** Embedding-cosine near-dup (the dedup modality over vectors): only
-    * co-bucketed pairs are scored (LSH candidates, never all-pairs);
-    * report the top pairs by cosine — at web scale a threshold filter
-    * (cos >= 0.95) replaces the limit.
+  /** Embedding-cosine near-dup (the dedup modality over vectors): TWO
+    * independent 16-bit sign-projection tables (planes 0-15 and 16-31);
+    * candidates = pairs co-bucketed in EITHER table (union keeps recall,
+    * 2^16 buckets per table keep candidate generation ~2·n²/2^17 — far
+    * below any all-pairs shape); exact cosine verifies. At web scale a
+    * threshold filter (cos >= 0.95) replaces the limit.
     */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val buckets = t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        graft.functions.functions.lsh_bits(col("embedding")).as("bucket"))
+    import graft.functions.functions.lsh_bits
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val pairs = buckets.select(col("vec_id").as("v1"), col("bucket"))
-      .join(buckets.select(col("vec_id").as("v2"), col("bucket")), "bucket")
+    val tables = e.select(col("vec_id"), lit(0).as("tbl"),
+        lsh_bits(col("embedding"), 0, 16).as("bkt"))
+      .unionByName(e.select(col("vec_id"), lit(1).as("tbl"),
+        lsh_bits(col("embedding"), 16, 16).as("bkt")))
+    val pairs = tables.select(col("tbl"), col("bkt"), col("vec_id").as("v1"))
+      .join(tables.select(col("tbl"), col("bkt"), col("vec_id").as("v2")),
+        Seq("tbl", "bkt"))
       .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
     pairs
       .join(e.toDF("v1", "e1"), Seq("v1"))
       .join(e.toDF("v2", "e2"), Seq("v2"))
@@ -640,6 +703,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_near" -> (qSimhashNear _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopK _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
@@ -760,16 +824,28 @@ object SparkEntry {
       s"""WITH $minhashSqlCtes
          |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
     "q_dedup_simhash" ->
-      """WITH th AS (
-        |  SELECT doc_id, md5(t) AS h FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-        |bitsum AS (
-        |  SELECT doc_id, b, sum(CASE WHEN substr(h, b, 1) >= '8' THEN 1 ELSE -1 END) AS s
-        |  FROM th CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS b)
-        |  GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |       cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS bigint) AS simhash
-        |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashSqlCtes
+         |SELECT doc_id, simhash_hi, simhash_lo FROM sh ORDER BY doc_id""".stripMargin,
+    "q_simhash_near" ->
+      s"""WITH $simhashSqlCtes,
+         |bands AS (
+         |  SELECT doc_id, 0 AS bi, simhash_lo % 65536 AS bv FROM sh
+         |  UNION ALL SELECT doc_id, 1, simhash_lo // 65536 FROM sh
+         |  UNION ALL SELECT doc_id, 2, simhash_hi % 65536 FROM sh
+         |  UNION ALL SELECT doc_id, 3, simhash_hi // 65536 FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT d1, d2,
+         |       cast(bit_count(xor(s1.simhash_lo, s2.simhash_lo)) +
+         |            bit_count(xor(s1.simhash_hi, s2.simhash_hi)) AS int) AS hamming
+         |FROM cand
+         |JOIN sh s1 ON s1.doc_id = d1
+         |JOIN sh s2 ON s2.doc_id = d2
+         |WHERE bit_count(xor(s1.simhash_lo, s2.simhash_lo)) +
+         |      bit_count(xor(s1.simhash_hi, s2.simhash_hi)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH $minhashSqlCtes,
          |tk AS (
@@ -847,15 +923,15 @@ object SparkEntry {
         |         sum(cast(embedding[i+1] AS double) * (((i*31 + j*17) % 7) - 3)) AS dot
         |  FROM embeddings
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
         |  GROUP BY vec_id, j),
         |bk AS (
-        |  SELECT vec_id,
-        |         cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
-        |  FROM dots GROUP BY vec_id),
+        |  SELECT vec_id, j // 16 AS tbl,
+        |         cast(sum(CASE WHEN dot > 0 THEN cast(pow(2, j % 16) AS bigint) ELSE 0 END) AS bigint) AS bkt
+        |  FROM dots GROUP BY vec_id, j // 16),
         |pairs AS (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
         |SELECT v1, v2,
         |       round(list_dot_product(list_transform(e1.embedding, x -> cast(x AS double)),
         |                              list_transform(e2.embedding, x -> cast(x AS double)))
@@ -934,6 +1010,29 @@ object SparkEntry {
         |SELECT doc_id,
         |       cast(sum(ascii(substr(text, p, 1)) * ((p*31) % 97)) % 1000000007 AS bigint) AS fingerprint
         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** 64-bit SimHash pipeline as DuckDB CTEs (shared by q_dedup_simhash
+    * and q_simhash_near); `//` is DuckDB integer division (its CAST
+    * rounds, Spark's truncates — Spark side uses `div`).
+    */
+  private val simhashSqlCtes: String =
+    """th AS (
+      |  SELECT doc_id, md5(t) AS h FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+      |shbits AS (
+      |  SELECT doc_id, b,
+      |         cast(('0x' || substr(h, (b+3) // 4, 1)) AS INT) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS b)),
+      |bitsum AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN cast(floor(v / pow(2, (b-1) % 4)) AS int) % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS s
+      |  FROM shbits GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id,
+      |         cast(sum(CASE WHEN s > 0 AND b > 32 THEN cast(pow(2, b-33) AS bigint) ELSE 0 END) AS bigint) AS simhash_hi,
+      |         cast(sum(CASE WHEN s > 0 AND b <= 32 THEN cast(pow(2, b-1) AS bigint) ELSE 0 END) AS bigint) AS simhash_lo
+      |  FROM bitsum GROUP BY doc_id)""".stripMargin
 
   private val bm25Sql: String =
     """WITH tok AS (

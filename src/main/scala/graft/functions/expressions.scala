@@ -122,23 +122,28 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object LshBitsExpr {
-  /** Sign-random-projection LSH over a float vector: 8 deterministic
+  /** Sign-random-projection LSH over a float vector: deterministic
     * integer hyperplanes (weight(i, j) = ((i*31 + j*17) % 7) - 3), dot
     * accumulated in Double in ascending index order — the same math the
     * DuckDB oracle expresses as aggregate(zip_with(...)), as one tight
-    * codegen'd loop.
+    * codegen'd loop. Planes [from, from+num) map to bits [0, num), so
+    * disjoint plane ranges give INDEPENDENT hash tables (the banding
+    * trick near-dup detection needs to keep recall without widening the
+    * per-table bucket count).
     */
   val Planes = 8
 
-  def bits(a: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+  def bits(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           from: Int, num: Int): Long = {
     val n = a.numElements()
     var bucket = 0L
     var j = 0
-    while (j < Planes) {
+    while (j < num) {
+      val plane = from + j
       var dot = 0.0
       var i = 0
       while (i < n) {
-        dot += a.getFloat(i).toDouble * (((i * 31 + j * 17) % 7) - 3)
+        dot += a.getFloat(i).toDouble * (((i * 31 + plane * 17) % 7) - 3)
         i += 1
       }
       if (dot > 0) bucket |= (1L << j)
@@ -148,17 +153,22 @@ object LshBitsExpr {
   }
 }
 
-/** lsh_bits(array<float>) → long bucket id of 8 hyperplane sign bits. */
-case class LshBits(child: Expression) extends UnaryExpression {
+/** lsh_bits(array<float>) → long bucket id of hyperplane sign bits
+  * [from, from+num) (default: the original single 8-bit table).
+  */
+case class LshBits(child: Expression, from: Int = 0,
+                   num: Int = LshBitsExpr.Planes) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
     LshBitsExpr.bits(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      from, num)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LshBitsExpr.bits($c)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBitsExpr.bits($c, $from, $num)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBits =
     copy(child = newChild)
@@ -174,4 +184,6 @@ object functions {
   def term_stats(text: Column): Column = col(TermStats(expr(text)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
   def lsh_bits(v: Column): Column = col(LshBits(expr(v)))
+  def lsh_bits(v: Column, from: Int, num: Int): Column =
+    col(LshBits(expr(v), from, num))
 }
