@@ -61,34 +61,60 @@ object StreamingSync {
       org.apache.spark.unsafe.types.UTF8String.fromString(text),
       org.apache.spark.sql.types.StringType, 7L)
 
+  /** Default state TTL (EVENT time): a url whose last crawl falls this
+    * far behind the stream's watermark drops its dedup state — a later
+    * identical crawl re-emits once (the safe direction: duplicates past
+    * the recrawl horizon are rare and cheap, unbounded state at crawl
+    * scale is not).
+    */
+  val DefaultStateTtlMs: Long = 30L * 24 * 3600 * 1000
+
   /** Streaming crawl dedup-on-ingest — custom keyed state via
     * flatMapGroupsWithState (SURVEY §2.10 stateful analog): per url,
     * emit a page downstream only when it is NEW or its content CHANGED
     * with a newer warc_ts; unchanged recrawls advance the state's
     * timestamp but produce nothing, so the expensive extract+index path
-    * never sees them. State is one (ts, hash) pair per url — at crawl
-    * scale production adds a state TTL (GroupStateTimeout) keyed to the
-    * recrawl horizon.
+    * never sees them. State is one (ts, hash) pair per url with an
+    * EVENT-TIME TTL keyed to the recrawl horizon (timeout fires when the
+    * warc_ts watermark passes lastTs + ttl), so state size tracks the
+    * active crawl frontier instead of growing monotonically. Event-time
+    * (not processing-time) timeouts: they advance with the data, replay
+    * deterministically, and terminate cleanly under AvailableNow
+    * (processing-time timeouts re-arm on every micro-batch and keep the
+    * trigger loop alive indefinitely).
     */
-  def dedupOnIngest(pages: Dataset[PageRow]): Dataset[PageRow] = {
+  def dedupOnIngest(pages: Dataset[PageRow],
+                    stateTtlMs: Long = DefaultStateTtlMs): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     pages
+      .withWatermark("warc_ts", "0 seconds")
       .groupByKey(_.url)
       .flatMapGroupsWithState[UrlState, PageRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows, state) =>
-          var st = state.getOption.getOrElse(UrlState(Long.MinValue, 0L))
-          val out = Vector.newBuilder[PageRow]
-          rows.toSeq.sortBy(_.warc_ts.getTime).foreach { p =>
-            val h = contentHash(p.text)
-            if (p.warc_ts.getTime > st.lastTs) {
-              if (h != st.contentHash) out += p
-              st = UrlState(p.warc_ts.getTime, h)
+          if (state.hasTimedOut) {
+            // the watermark passed lastTs + ttl with no re-crawl: drop
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(UrlState(Long.MinValue, 0L))
+            val out = Vector.newBuilder[PageRow]
+            rows.toSeq.sortBy(_.warc_ts.getTime).foreach { p =>
+              val h = contentHash(p.text)
+              if (p.warc_ts.getTime > st.lastTs) {
+                if (h != st.contentHash) out += p
+                st = UrlState(p.warc_ts.getTime, h)
+              }
             }
+            state.update(st)
+            // a timeout timestamp must sit above the current watermark
+            // (late keys would otherwise set an already-passed timeout)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -97,13 +123,14 @@ object StreamingSync {
     * checkpoint resume the keyed state (recrawls across ticks dedupe).
     */
   def dedupOnIngestOnce(spark: SparkSession, pagesDir: String,
-                        streamCheckpoint: String, outDir: String): Unit = {
+                        streamCheckpoint: String, outDir: String,
+                        stateTtlMs: Long = DefaultStateTtlMs): Unit = {
     import spark.implicits._
     val pages = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[PageRow].schema)
       .parquet(pagesDir)
       .as[PageRow]
-    val q = dedupOnIngest(pages).writeStream
+    val q = dedupOnIngest(pages, stateTtlMs).writeStream
       .outputMode("append")
       .option("checkpointLocation", streamCheckpoint)
       .trigger(Trigger.AvailableNow())

@@ -91,20 +91,47 @@ object Metrics {
           "destinationManager.js:185-188)")
   }
 
+  /** Transient-error classification for the stage retry below: I/O-layer
+    * hiccups (filesystem / network) anywhere in the cause chain. The
+    * reference draws the same line — downloads retry ×3 on 5xx /
+    * EAI_AGAIN (downloader.js:301-337) BEFORE a strike accrues at the
+    * batch layer (destinationManager.js:185-188); logic errors are never
+    * transient.
+    */
+  private[sync] def isTransient(e: Throwable, depth: Int = 0): Boolean =
+    e match {
+      case null => false
+      case _: RecordedError => false
+      case _: java.io.IOException => true
+      case e if depth < 8 && e.getCause != null && (e.getCause ne e) =>
+        isTransient(e.getCause, depth + 1)
+      case _ => false
+    }
+
   /** Run a job body under the error budget: refuse if the batch already
-    * burned its strikes, record any new failure as a result='error' row.
+    * burned its strikes; retry ONCE on a transient failure (stages are
+    * checkpointed + staged, so a rerun is idempotent and resumes at the
+    * failed stage); record any persistent failure as a result='error'
+    * row — mirroring the reference's retry-then-strike layering.
     */
   def withBudget[A](spark: SparkSession, io: TableIO, batchId: String,
                     process: String, t0: Long)(body: => A): A = {
     checkBudget(spark, io, batchId, process)
-    try body
-    catch {
-      case e: RecordedError => throw e
-      case e: Exception =>
-        append(io, driverRow(spark, batchId, process, 0L,
-          System.currentTimeMillis() - t0, "error",
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
-        throw e
-    }
+    def attempt(retriesLeft: Int): A =
+      try body
+      catch {
+        case e: RecordedError => throw e
+        case e: Exception if retriesLeft > 0 && isTransient(e) =>
+          System.err.println(s"[graft] $process $batchId: transient failure " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — retrying " +
+            "stage before burning a strike")
+          attempt(retriesLeft - 1)
+        case e: Exception =>
+          append(io, driverRow(spark, batchId, process, 0L,
+            System.currentTimeMillis() - t0, "error",
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+          throw e
+      }
+    attempt(1)
   }
 }

@@ -43,6 +43,38 @@ class OpsSpec extends SparkTestBase {
     assert(r.deltaRows == 100)
   }
 
+  test("transient failure retries the stage once before burning a strike") {
+    val root = tmpDir("graft-retry")
+    val io = new TableIO(spark, root)
+    // transient (I/O) error once → retried, succeeds, 0 strikes
+    var calls = 0
+    val out = Metrics.withBudget(spark, io, "bX", "sync", 0L) {
+      calls += 1
+      if (calls == 1) throw new java.io.IOException("fs hiccup")
+      42
+    }
+    assert(out == 42 && calls == 2)
+    assert(Metrics.errorCount(spark, io, "bX", "sync") == 0)
+    // persistent transient error → one retry, then a recorded strike
+    var calls2 = 0
+    intercept[java.io.IOException] {
+      Metrics.withBudget(spark, io, "bY", "sync", 0L) {
+        calls2 += 1; throw new java.io.IOException("fs down")
+      }
+    }
+    assert(calls2 == 2)
+    assert(Metrics.errorCount(spark, io, "bY", "sync") == 1)
+    // non-transient error → NO retry, immediate strike
+    var calls3 = 0
+    intercept[RuntimeException] {
+      Metrics.withBudget(spark, io, "bZ", "sync", 0L) {
+        calls3 += 1; throw new RuntimeException("logic bug")
+      }
+    }
+    assert(calls3 == 1)
+    assert(Metrics.errorCount(spark, io, "bZ", "sync") == 1)
+  }
+
   test("multi-resource batch: per-resource resume + list-change refusal") {
     val root = tmpDir("graft-multires")
     val io = new TableIO(spark, root)

@@ -73,6 +73,54 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(all.filter(col("text").contains("recrawl changed")).count() == 10)
   }
 
+  test("dedup state TTL: expired urls re-emit an identical recrawl once") {
+    val pagesDir = tmpDir("graft-ttl-pages")
+    val cpDir = tmpDir("graft-ttl-cp")
+    val outDir = tmpDir("graft-ttl-out") + "/survivors"
+    val ttl = 10000L // 10s of EVENT time
+    def run(): Unit =
+      StreamingSync.dedupOnIngestOnce(spark, pagesDir, cpDir, outDir,
+        stateTtlMs = ttl)
+    def bumped(i: Long, at: Long): PageRow = Corpus.row(i).copy(
+      warc_ts = new java.sql.Timestamp(Corpus.warcTsMillis(at)))
+
+    // tick 1: 20 fresh pages (warc_ts ≈ t0..t0+19s); timeouts arm at
+    // lastTs + 10s
+    spark.range(0, 20).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 20)
+
+    // tick 2: one unrelated far-future page advances the watermark past
+    // every armed timeout (watermark updates at end of batch)
+    spark.range(1000, 1001).map(i => bumped(i, 50000)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 21)
+
+    // tick 3: another unrelated page; this batch runs with the advanced
+    // watermark, so the 20 idle keys time out and drop their state
+    spark.range(1001, 1002).map(i => bumped(i, 50001)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 22)
+
+    // tick 4: IDENTICAL recrawl (content unchanged, newer warc_ts) of
+    // doc 0 — its state expired, so it must re-emit exactly once
+    spark.range(0, 1).map(i => bumped(i, 60000)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 23,
+      "expired state must re-emit one identical recrawl")
+
+    // tick 5: an immediate identical recrawl — tick 4 rebuilt the state,
+    // so this one dedupes again
+    spark.range(0, 1).map(i => bumped(i, 60005)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 23)
+  }
+
   test("streaming watermarked window aggregation over pages") {
     val pagesDir = tmpDir("graft-streamw-pages")
     val cpDir = tmpDir("graft-streamw-cp")
