@@ -37,7 +37,10 @@ object BenchScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(cpus, docs, parts) = args.map(_.toLong)
+    val Array(cpus, docs, parts) = args.take(3).map(_.toLong)
+    // optional 4th arg: build into this root and KEEP it (the caller
+    // reuses the index for incremental-sync + latency measurements)
+    val keepRoot = args.lift(3)
     // On a real cluster, disk bandwidth scales with executor count; on one
     // box it does not — measuring on tmpfs keeps the comparison about
     // compute+shuffle scaling rather than a single shared disk.
@@ -54,23 +57,41 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def build(n: Long): Double = {
-      val root = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(tmpBase), "graft-scale").toString
+    def build(n: Long, keep: Option[String] = None): Double = {
+      val root = keep.getOrElse(java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(tmpBase), "graft-scale").toString)
       val io = new TableIO(spark, root)
       val t0 = System.nanoTime()
       SyncJob.run(spark, io, Corpus.pages(spark, n, parts.toInt),
         new Timestamp(Corpus.warcTsMillis(n)))
       val sec = (System.nanoTime() - t0) / 1e9
-      io.deleteDir(root)
+      if (keep.isEmpty) io.deleteDir(root)
       sec
     }
 
     build(docs / 16 max 2000) // JIT warmup through the full path
     val p1 = probeSec()
-    val sec = build(docs)
+    val sec = build(docs, keepRoot)
     val p2 = probeSec()
-    println(f"GRAFT_SCALE cpus=$cpus sec=$sec%.3f probe1=$p1%.3f probe2=$p2%.3f")
+    // keep-root mode (primary-build measurement): also time the +1%
+    // incremental sync in THIS warm, fixed-heap JVM — the steady-state
+    // replication number must not be distorted by the caller's resident
+    // session (the same heap-geometry effect that poisoned the r2
+    // primary build)
+    val inc = keepRoot.map { root =>
+      val deltaN = math.max(docs / 100, 1000L)
+      // source = a crawl window with 2× overlap below the watermark
+      // (the reference's $filter endpoint delivers only the recent
+      // window; the engine's own watermark predicate still prunes the
+      // overlap rows)
+      val t0 = System.nanoTime()
+      SyncJob.run(spark, new TableIO(spark, root),
+        Corpus.pagesRange(spark, docs - deltaN, docs + deltaN, parts.toInt),
+        new Timestamp(Corpus.warcTsMillis(docs + deltaN)))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val incStr = inc.map(s => f" inc=$s%.3f").getOrElse("")
+    println(f"GRAFT_SCALE cpus=$cpus sec=$sec%.3f$incStr probe1=$p1%.3f probe2=$p2%.3f")
     spark.stop()
   }
 }

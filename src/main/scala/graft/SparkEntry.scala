@@ -293,8 +293,17 @@ object SparkEntry {
       col("text"),
       col("lang")).as[PageRow]
     val io = new graft.sources.TableIO(s, root)
-    graft.sync.SyncJob.run(s, io, pages,
+    // ephemeral single-query index: no update batch will ever probe its
+    // fwd table, so skip the fine-grained fwd bucketing (256 output dirs
+    // of write-commit overhead for a throwaway segment)
+    val prevBits = sys.props.get("graft.fwd.bucketBits")
+    sys.props("graft.fwd.bucketBits") = "2"
+    try graft.sync.SyncJob.run(s, io, pages,
       new java.sql.Timestamp(System.currentTimeMillis()))
+    finally prevBits match {
+      case Some(v) => sys.props("graft.fwd.bucketBits") = v
+      case None => sys.props.remove("graft.fwd.bucketBits")
+    }
     val reader = new graft.query.IndexReader(s, root)
     // fetch deep (k=200) so the round-to-4-decimals re-rank below can
     // re-break ties the same way the SQL oracle does before the limit
@@ -416,14 +425,20 @@ object SparkEntry {
     * vector is bit (b-1)%4 of md5 hex digit ceil(b/4).
     */
   private def simhashHalves(s: SparkSession, dir: String): DataFrame = {
-    val th = tok(s, dir).select(col("doc_id"), md5(col("term")).as("h"))
+    // pre-aggregate tf per (doc, term-hash) BEFORE the 64-way bit
+    // explode: the ±1-per-occurrence vote equals ±tf per distinct term,
+    // and the exploded row count drops from Σ doclen × 64 to
+    // Σ |vocab(doc)| × 64
+    val th = tok(s, dir)
+      .groupBy(col("doc_id"), md5(col("term")).as("h"))
+      .agg(count(lit(1)).as("w"))
     th.crossJoin(s.range(1, 65).select(col("id").cast("int").as("b")))
-      .select(col("doc_id"), col("b"),
+      .select(col("doc_id"), col("b"), col("w"),
         expr("cast(conv(substring(h, (b+3) div 4, 1), 16, 10) as int)").as("v"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(when(
-        expr("cast(floor(v / pow(2, (b-1) % 4)) as int) % 2") === 1, 1)
-        .otherwise(-1)).as("s"))
+        expr("cast(floor(v / pow(2, (b-1) % 4)) as int) % 2") === 1, col("w"))
+        .otherwise(-col("w"))).as("s"))
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("s") > 0 && col("b") > 32,
@@ -434,8 +449,19 @@ object SparkEntry {
           .as("simhash_lo"))
   }
 
+  /** Cached per (session, dir): q_dedup_simhash and q_simhash_near share
+    * one pipeline run, and the near query references the halves frame
+    * three times (bands + both join sides) — without the persist Spark
+    * would recompute the 64-way bit pipeline per reference.
+    */
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def simhashHalvesCached(s: SparkSession, dir: String): DataFrame =
+    simhashCache.computeIfAbsent((s, dir), _ => simhashHalves(s, dir).persist())
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashHalves(s, dir).orderBy(col("doc_id"))
+    simhashHalvesCached(s, dir).orderBy(col("doc_id"))
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; pairs sharing any
     * band are candidates (pigeonhole: Hamming ≤ 3 over 64 bits cannot
@@ -443,7 +469,7 @@ object SparkEntry {
     * The band join is a bucket join — never all-pairs.
     */
   private def qSimhashNear(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashHalves(s, dir)
+    val sh = simhashHalvesCached(s, dir)
     val bands = sh.select(col("doc_id"), explode(array(
       struct(lit(0).as("bi"), (col("simhash_lo") % 65536).as("bv")),
       struct(lit(1).as("bi"), expr("simhash_lo div 65536").as("bv")),
@@ -1017,16 +1043,17 @@ object SparkEntry {
     */
   private val simhashSqlCtes: String =
     """th AS (
-      |  SELECT doc_id, md5(t) AS h FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+      |  SELECT doc_id, md5(t) AS h, count(*) AS w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, md5(t)),
       |shbits AS (
-      |  SELECT doc_id, b,
+      |  SELECT doc_id, b, w,
       |         cast(('0x' || substr(h, (b+3) // 4, 1)) AS INT) AS v
       |  FROM th CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS b)),
       |bitsum AS (
       |  SELECT doc_id, b,
       |         sum(CASE WHEN cast(floor(v / pow(2, (b-1) % 4)) AS int) % 2 = 1
-      |                  THEN 1 ELSE -1 END) AS s
+      |                  THEN w ELSE -w END) AS s
       |  FROM shbits GROUP BY doc_id, b),
       |sh AS (
       |  SELECT doc_id,

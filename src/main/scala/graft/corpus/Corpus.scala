@@ -138,4 +138,20 @@ object Corpus {
       if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
     base.map(i => row(i))
   }
+
+  /** The corpus slice [lo, hi) — the incremental-source analog: warc_ts
+    * is strictly monotone in i, so a crawl window maps to an index
+    * range. Mirrors the reference's server-side-filtered download (the
+    * `$filter` endpoint returns only the watermark window, never the
+    * whole corpus) and a parquet source's partition pruning; the engine
+    * still applies its own watermark predicate on top.
+    */
+  def pagesRange(spark: org.apache.spark.sql.SparkSession, lo: Long, hi: Long,
+                 partitions: Int = 0): org.apache.spark.sql.Dataset[PageRow] = {
+    import spark.implicits._
+    val base =
+      if (partitions > 0) spark.range(lo, hi, 1, partitions)
+      else spark.range(lo, hi)
+    base.map(i => row(i))
+  }
 }

@@ -89,12 +89,15 @@ class IndexReader(spark: SparkSession, root: String) {
 
   /** Block count below which the matching blocks (already term-filtered
     * at the parquet scan) are collected and WAND runs on the driver —
-    * ONE Spark job per query: with no tombstones, df (hence idf) derives
-    * from the fetched blocks' own metadata (df = Σ block counts), so no
-    * separate dict probe. Stopword-scale queries fall back to the
-    * distributed path.
+    * ONE Spark job per query. 16384 blocks ≈ 2M postings ≈ 15 MB of
+    * compressed block rows: well within a driver's budget for one query,
+    * and block-max WAND decodes only a fraction of them. This keeps
+    * 3-stopword queries over ~10⁶-doc segments on the single-job path
+    * (the r2 p95 regression was exactly these queries crossing the old
+    * 2048 threshold into a per-query shuffle job after an incremental
+    * segment append); truly corpus-scale posting sets still fan out.
     */
-  val LocalEvalMaxBlocks = 2048
+  val LocalEvalMaxBlocks = 16384
 
   /** Exact BM25 top-k hits, rank-deterministic (score desc, docId asc).
     *

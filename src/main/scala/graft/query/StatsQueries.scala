@@ -36,4 +36,29 @@ object StatsQueries {
       ($"src_count" === $"dest_count" &&
         $"src_max_ts" <=> $"dest_max_ts").as("in_sync"))
   }
+
+  /** Last-k-batches dashboard feed — the reference GraphQL shape the
+    * Vue dashboard renders per source (server/index.js:218-267 resolves
+    * the most recent sync/purge/reconcile batches with their per-resource
+    * counts; StatsDetails.vue lists them newest-first). One row per
+    * (process, batch): batch id, driver-level row count, wall millis,
+    * result, and error sample — straight off the metrics ledger's
+    * driver rows (partitionId = -1), newest k per process.
+    */
+  def lastBatches(spark: SparkSession, io: TableIO, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    if (!io.exists(io.metricsDir))
+      return Seq.empty[(String, String, Long, Long, String, String)]
+        .toDF("process", "batch_id", "rows", "millis", "result", "error")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"process")
+      .orderBy($"batch_id".desc, $"result".asc)
+    io.readParquet(io.metricsDir)
+      .filter($"partitionId" === -1) // driver-level rows only
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"process", $"batch_id", $"rows", $"millis", $"result",
+        $"error")
+      .orderBy($"process", $"batch_id".desc)
+  }
 }

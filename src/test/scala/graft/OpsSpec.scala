@@ -233,6 +233,29 @@ class OpsSpec extends SparkTestBase {
     assert(cp3.oldestUnfinished("sync").isEmpty)
   }
 
+  test("lastBatches read model: newest-k driver rows per process") {
+    val root = tmpDir("graft-lastbatches")
+    val io = new TableIO(spark, root)
+    val rows = Corpus.localRows(300)
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(300))
+    SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(310)), ts(310))
+    SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(320)), ts(320))
+    graft.sync.PurgeJob.run(spark, io,
+      spark.createDataset(Corpus.localRows(320).filterNot(_.url.endsWith("7"))),
+      ts(400))
+    val feed = graft.query.StatsQueries.lastBatches(spark, io, k = 2).collect()
+    val syncRows = feed.filter(_.getAs[String]("process") == "sync")
+    val purgeRows = feed.filter(_.getAs[String]("process") == "purge")
+    assert(syncRows.length == 2, s"expected 2 sync rows, got ${syncRows.length}")
+    assert(purgeRows.length == 1)
+    // newest first, and the newest sync batch is ts(320)'s
+    assert(syncRows.head.getAs[String]("batch_id") ==
+      Checkpoint.toBatchId(ts(320)))
+    assert(syncRows.head.getAs[Long]("rows") == 10)
+    assert(syncRows.forall(_.getAs[String]("result") == "success"))
+    assert(purgeRows.head.getAs[Long]("rows") == 32)
+  }
+
   test("gcVersions: crash leftovers (manifest-less version, in-flight segment) survive") {
     val root = tmpDir("graft-gccrash")
     val io = new TableIO(spark, root)
