@@ -44,7 +44,13 @@ class IndexReader(spark: SparkSession, root: String) {
 
   val index: Dataset[IndexBlock] =
     spark.read.schema(blockSchema).parquet(segPaths("index"): _*).as[IndexBlock]
-  val dict: DataFrame = io.readParquet(s"${io.versionDir(version)}/dict")
+
+  /** Dict, cached in memory (lazily, on the first probe): the dict is
+    * O(vocabulary) — tiny next to the index — and every query starts
+    * with a probe of it, so repeated queries must not re-scan parquet.
+    */
+  val dict: DataFrame =
+    io.readParquet(s"${io.versionDir(version)}/dict").persist()
   val stats: CorpusStats = {
     val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
     CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),
