@@ -238,8 +238,11 @@ class LsmSpec extends SparkTestBase {
       assert(reader.stats.n == oracle.n)
       assert(reader.stats.avgdl == oracle.avgdl)
       // small query (would be driver-local) and a stopword-scale one —
-      // both must route through the per-bucket cogroup and stay exact
-      Seq("rare07 document", "document", "the of and", "w0003 w0007").foreach { q =>
+      // both must route through the per-bucket cogroup and stay exact,
+      // as must the whole 20-query reference set
+      val probes = Seq("rare07 document", "the of and", "w0003 w0007") ++
+        graft.query.QuerySet.all.map(_._2)
+      probes.distinct.foreach { q =>
         val got = reader.topK(q, 10).map(h => (h.docId, h.score)).toSeq
         val want = oracle.topK(q, 10).map(h => (h.docId, h.score)).toSeq
         assert(got == want, s"'$q' diverged on the distributed dead path")
