@@ -63,8 +63,12 @@ object Children {
         throw new IllegalStateException("children: parent sync not published"))
       val deltaParents = current.docs
         .filter($"batch_id" === batchId).select($"docId".as("parent_docid"))
+      // O(batch) parent ids — size-adapted like every delta-id set in the
+      // LSM write paths (a backfill batch must not broadcast 10⁹ ids); the
+      // count is a pruned scan of this batch's own segment only
+      val nDelta = deltaParents.count()
       val deltaChildren = children
-        .join(broadcast(deltaParents), Seq("parent_docid"))
+        .join(Tables.maybeBroadcast(deltaParents, nDelta), Seq("parent_docid"))
         .withColumn("batch_id", lit(batchId))
       io.appendParquet(deltaChildren, childDir(io, childName))
       cp.markDone(batchId, "sync", s"child:$childName", "publish")

@@ -271,7 +271,12 @@ object Tables {
     val deltaIds: DataFrame =
       if (hasDelta) io.readParquet(s"$seg/docs").select($"docId")
       else spark.emptyDataset[Long].toDF("docId")
-    val affected = deltaIds.union(purged.toDF("docId")).distinct()
+    // affected ids are O(batch): usually broadcastable, but a backfill-
+    // scale update/purge batch must not be forced through the driver —
+    // every join below size-adapts on the counted set (the count also
+    // feeds the O(delta) arithmetic, so it is not an extra pass at scale)
+    val affected = deltaIds.union(purged.toDF("docId")).distinct().persist()
+    val affectedCount = affected.count()
 
     // the delta's doc count + doclen sum and the delta dict ride on the
     // written segment's pruned metadata columns
@@ -294,7 +299,7 @@ object Tables {
     val nExisting = spark.read
       .parquet(old.segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
       .select($"docId")
-      .join(broadcast(affected), Seq("docId"), "left_semi")
+      .join(maybeBroadcast(affected, affectedCount), Seq("docId"), "left_semi")
       .count()
     val killed = (
       if (nExisting == 0)
@@ -305,7 +310,7 @@ object Tables {
           .distinct().as[Int].collect().toSeq // bounded by 2^fwdBucketBits
         readFwdPruned(spark, io, old.segments, affectedFb)
           .select($"docId", $"url", $"doclen", $"tfs", $"seg")
-          .join(broadcast(affected), Seq("docId"))
+          .join(maybeBroadcast(affected, affectedCount), Seq("docId"))
           .join(maybeBroadcast(tombsDf, old.tombstoneCount),
             $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
           .select($"docId", $"url", $"doclen", $"tfs")
@@ -372,9 +377,13 @@ object Tables {
         .select($"docId",
           when($"isDelta".isNotNull, lit(batchId))
             .otherwise(lit(PurgeSentinel)).as("before"))
+        .persist()
+      // O(batch) rows — counted before the anti-join so a backfill-scale
+      // batch falls back to a shuffle join instead of a driver broadcast
+      val newTombCount = newTombRows.count()
       val keptOld = old.tombstones.toDF()
-        .join(broadcast(newTombRows.select($"docId")), Seq("docId"),
-          "left_anti")
+        .join(maybeBroadcast(newTombRows.select($"docId"), newTombCount),
+          Seq("docId"), "left_anti")
       val allTombs = keptOld.unionByName(newTombRows).persist()
       val tombCount = allTombs.count()
       // partitioned tombstone files, sized by row count: one file while
@@ -386,13 +395,14 @@ object Tables {
           s"${io.versionDir(batchId)}/tombstones")
       }
       allTombs.unpersist()
+      newTombRows.unpersist()
 
       writeStats(spark, io, batchId,
         old.stats.n - killedN + deltaN,
         old.stats.sumDl - killedDl + deltaDl)
       val segs = if (hasDelta) old.segments :+ batchId else old.segments
       io.writeManifest(batchId, segs, tombCount)
-    } finally killed.unpersist()
+    } finally { killed.unpersist(); affected.unpersist() }
   }
 
   // ---- compaction -------------------------------------------------------
@@ -468,14 +478,19 @@ object Tables {
     }
     // overridden = docIds the staged delta re-writes or this batch purges:
     // their tail-segment occurrences must not ride along (no tombstone is
-    // written for them — compaction removes the rows physically)
+    // written for them — compaction removes the rows physically). O(batch)
+    // rows, but a backfill-scale batch must not blow the driver: counted
+    // once, then size-adapted at every join.
     val overridden = stagedDocs.select($"docId")
-      .union(purged.toDF("docId")).distinct()
+      .union(purged.toDF("docId")).distinct().persist()
+    val overriddenCount = overridden.count()
     val deltaDocs = liveTailDocs
-      .join(broadcast(overridden), Seq("docId"), "left_anti").as[DocRow]
+      .join(maybeBroadcast(overridden, overriddenCount), Seq("docId"),
+        "left_anti").as[DocRow]
       .unionByName(stagedDocs)
     val deltaPostings = liveTailPostings
-      .join(broadcast(overridden), Seq("docId"), "left_anti").as[Posting]
+      .join(maybeBroadcast(overridden, overriddenCount), Seq("docId"),
+        "left_anti").as[Posting]
       .unionByName(stagedPostings)
     val purgedAll = purged
       .union(old.tombstones.map(_.docId)).distinct()
@@ -495,7 +510,8 @@ object Tables {
     val oldFwdLive = readFwd(spark, io, old.segments)
       .join(maybeBroadcast(tombsDf, old.tombstoneCount),
         $"docId" === $"t_docId" && $"seg" < $"t_before", "left_anti")
-      .join(broadcast(overridden), Seq("docId"), "left_anti")
+      .join(maybeBroadcast(overridden, overriddenCount), Seq("docId"),
+        "left_anti")
       .drop("seg")
     val fwdNew = stagedFwd match {
       case Some(f) => oldFwdLive.unionByName(f)
@@ -503,5 +519,6 @@ object Tables {
     }
     writeFwd(fwdNew, s"$seg/fwd")
     deriveDictStats(spark, io, batchId, Seq(batchId))
+    overridden.unpersist()
   }
 }

@@ -205,6 +205,12 @@ class LsmSpec extends SparkTestBase {
     }
   }
 
+  // broadcastMax=0 forces EVERY size-adapted broadcast to the shuffle-join
+  // path: the read-side dead checks (docs anti-join, per-bucket cogroup in
+  // topK) AND the write-side delta-id sets (appendVersion's affected /
+  // newTombRows, compactVersion's overridden, via Tables.maybeBroadcast) —
+  // the update, purge, and compaction below all run with zero driver-side
+  // id sets, and every answer must still match the oracle.
   test("distributed dead-check (broadcastMax=0): join/cogroup == oracle") {
     val prevBc = sys.props.get("graft.tombstones.broadcastMax")
     val prevSeg = sys.props.get("graft.compact.segments")
