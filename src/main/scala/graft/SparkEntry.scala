@@ -294,16 +294,11 @@ object SparkEntry {
       col("lang")).as[PageRow]
     val io = new graft.sources.TableIO(s, root)
     // ephemeral single-query index: no update batch will ever probe its
-    // fwd table, so skip the fine-grained fwd bucketing (256 output dirs
-    // of write-commit overhead for a throwaway segment)
-    val prevBits = sys.props.get("graft.fwd.bucketBits")
-    sys.props("graft.fwd.bucketBits") = "2"
-    try graft.sync.SyncJob.run(s, io, pages,
-      new java.sql.Timestamp(System.currentTimeMillis()))
-    finally prevBits match {
-      case Some(v) => sys.props("graft.fwd.bucketBits") = v
-      case None => sys.props.remove("graft.fwd.bucketBits")
-    }
+    // fwd table, so skip the fwd bucketing entirely — an EXPLICIT
+    // parameter, not a process-global sys.props mutation (which would
+    // race a concurrent job in the same JVM)
+    graft.sync.SyncJob.run(s, io, pages,
+      new java.sql.Timestamp(System.currentTimeMillis()), fwdBits = Some(0))
     val reader = new graft.query.IndexReader(s, root)
     // fetch deep (k=200) so the round-to-4-decimals re-rank below can
     // re-break ties the same way the SQL oracle does before the limit

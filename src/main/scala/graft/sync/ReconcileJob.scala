@@ -67,7 +67,9 @@ object ReconcileJob {
       // S4/J4: fetch full records for the id list via semi join
       val toIndex = pages.join(missingOrChanged, Seq("url"), "left_semi")
         .as[PageRow]
-      Tables.writeFwd(SegmentBuilder.analyze(toIndex).toDF(), analyzedDir)
+      // reconcile deltas are usually small (the drift set) — adaptive width
+      Tables.writeFwdAdaptive(spark, SegmentBuilder.analyze(toIndex).toDF(),
+        analyzedDir)
       cp.markDone(batchId, Process, resource, "analyze")
     }
 

@@ -57,10 +57,16 @@ object SyncJob {
     *                    checkpoint flags remain, so a later real run of
     *                    the same batch resumes straight at the merge.
     */
+  /** @param fwdBits   explicit fwd bucket width for this batch's segment
+    *                   (None = initial builds use the configured ceiling,
+    *                   incremental deltas adapt to their measured size).
+    *                   An ephemeral single-query index passes Some(0) to
+    *                   skip bucketing it will never probe.
+    */
   def run(spark: SparkSession, io: TableIO, pages: Dataset[PageRow],
           batchTs: Timestamp, resource: String = "pages",
           userFilter: Option[org.apache.spark.sql.Column] = None,
-          dryRun: Boolean = false): Result = {
+          dryRun: Boolean = false, fwdBits: Option[Int] = None): Result = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val batchId = Checkpoint.toBatchId(batchTs)
@@ -75,26 +81,42 @@ object SyncJob {
     val release = io.acquireLock(s"sync:$batchId")
     try Metrics.withBudget(spark, io, batchId, Process, t0) {
       val src = userFilter.map(pages.filter).getOrElse(pages)
-      runLocked(spark, io, cp, src, batchTs, batchId, resource, t0, dryRun)
+      runLocked(spark, io, cp, src, batchTs, batchId, resource, t0, dryRun,
+        fwdBits)
     } finally release()
   }
 
   private def runLocked(spark: SparkSession, io: TableIO, cp: Checkpoint,
                         pages: Dataset[PageRow], batchTs: Timestamp,
                         batchId: String, resource: String,
-                        t0: Long, dryRun: Boolean = false): Result = {
+                        t0: Long, dryRun: Boolean = false,
+                        fwdBits: Option[Int] = None): Result = {
     import spark.implicits._
 
     // ---- analyze ----------------------------------------------------
     val analyzedDir = io.stagingDir(batchId, "analyzed")
     if (!cp.isDone(batchId, Process, resource, "analyze")) timed(batchId, "analyze") {
       // closed interval (lo, batchTs]; `>=` when starting from epoch-0
+      val lo = timed(batchId, "analyze.watermark") { primaryLo(spark, io) }
       val pred = Watermark.predicate(
-        Map("warc_ts" -> primaryLo(spark, io)), batchTs, Seq("warc_ts"))
+        Map("warc_ts" -> lo), batchTs, Seq("warc_ts"))
       val delta = pages.filter(pred)
       // fwd is the adopted analyzed output: write it bucketed by docId so
-      // later update batches open only their affected buckets
-      Tables.writeFwd(SegmentBuilder.analyze(delta).toDF(), analyzedDir)
+      // later update batches open only their affected buckets. Width per
+      // segment: explicit hint > initial build (corpus-scale by
+      // assumption, configured ceiling in one pass) > incremental delta
+      // (adaptive — measured during a flat write, rewritten bucketed only
+      // when large; a 256-dir write costs seconds regardless of rows)
+      timed(batchId, "analyze.writeFwd") {
+        val analyzedDf = SegmentBuilder.analyze(delta).toDF()
+        fwdBits match {
+          case Some(b) => Tables.writeFwd(analyzedDf, analyzedDir, b)
+          case None if lo == Epoch0 =>
+            Tables.writeFwd(analyzedDf, analyzedDir)
+          case None =>
+            Tables.writeFwdAdaptive(spark, analyzedDf, analyzedDir)
+        }
+      }
       cp.markDone(batchId, Process, resource, "analyze")
     }
 
@@ -199,7 +221,8 @@ object SyncJob {
     try Metrics.withBudget(spark, io, batchId, Process, t0) {
       val analyzedDir = io.stagingDir(batchId, "analyzed")
       if (!cp.isDone(batchId, Process, resource, "analyze")) timed(batchId, "analyze") {
-        val los = Watermark.read(io) + ("warc_ts" -> primaryLo(spark, io))
+        val primary = primaryLo(spark, io)
+        val los = Watermark.read(io) + ("warc_ts" -> primary)
         val delta = raw.filter(Watermark.predicate(los, batchTs, tsCols))
         // stash the secondary columns' new maxima for post-publish
         // promotion (the analyzed projection drops them)
@@ -215,10 +238,10 @@ object SyncJob {
               maxes.map { case (c, t) => s"$c=${t.getTime}" }.mkString("\n"))
         }
         val pageCols = Seq("url", "warc_ts", "html", "text", "lang")
-        Tables.writeFwd(
-          SegmentBuilder.analyze(
-            delta.select(pageCols.map(col): _*).as[PageRow]).toDF(),
-          analyzedDir)
+        val analyzedDf = SegmentBuilder.analyze(
+          delta.select(pageCols.map(col): _*).as[PageRow]).toDF()
+        if (primary == Epoch0) Tables.writeFwd(analyzedDf, analyzedDir)
+        else Tables.writeFwdAdaptive(spark, analyzedDf, analyzedDir)
         cp.markDone(batchId, Process, resource, "analyze")
       }
       val r = runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
@@ -251,12 +274,17 @@ object SyncJob {
       // then the collision check runs on the small written docs table,
       // piggybacking the delta row count (stashed FS-side for publish —
       // the staged dirs may be renamed away by the merge stage)
-      io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
-      val n = SegmentBuilder.checkCollisions(io.readParquet(docsDir))
+      timed(batchId, "segment.docs") {
+        io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
+      }
+      val n = timed(batchId, "segment.collisions") {
+        SegmentBuilder.checkCollisions(io.readParquet(docsDir)) }
       io.writeSmallFile(s"${io.root}/staging/$batchId/delta_rows", n.toString)
-      val blocks = SegmentBuilder.buildBlocks(
-        SegmentBuilder.toPostings(analyzed), batchId)
-      io.writeParquet(blocks.toDF(), blocksDir)
+      timed(batchId, "segment.blocks") {
+        val blocks = SegmentBuilder.buildBlocks(
+          SegmentBuilder.toPostings(analyzed), batchId)
+        io.writeParquet(blocks.toDF(), blocksDir)
+      }
       cp.markDone(batchId, process, resource, "segment")
     }
 

@@ -82,17 +82,45 @@ object Tables {
     * update-path killed lookup (which needs fwd's heavy `tfs` column)
     * opens ONLY the affected docIds' buckets instead of scanning the
     * corpus. 2^bits buckets: a batch updating k docs touches ≤ k of them,
-    * so the read is O(corpus · min(1, k/2^bits)). Production sets bits
-    * high (16 → 65536 buckets); the default 8 keeps small-scale file
-    * counts sane.
+    * so the read is O(corpus · min(1, k/2^bits)).
+    *
+    * The bucket width is ADAPTIVE PER SEGMENT and recorded in the segment
+    * (`fwd/_fwd_bits`): a directory-partitioned write costs ~10ms per
+    * output dir regardless of rows (measured: 256 dirs ≈ 2.5-4s even for
+    * 3k rows), so a small delta segment is written flat (bits=0 — its
+    * whole fwd is cheaper to scan than 256 dirs are to commit) while
+    * corpus-scale segments get the full configured width. Readers use the
+    * RECORDED width, never the runtime config — a config change between
+    * write and read can therefore never silently mis-prune (a missing
+    * recording fails loudly).
+    *
+    * This value is the configured CEILING (production sets it high:
+    * 16 → 65536 buckets; the default 8 keeps small-scale file counts
+    * sane).
     */
   def fwdBucketBits: Int =
     sys.props.get("graft.fwd.bucketBits")
       .orElse(sys.env.get("GRAFT_FWD_BUCKET_BITS"))
       .map(_.toInt).getOrElse(8)
 
-  private[graft] def fbExpr: org.apache.spark.sql.Column =
-    expr(s"cast(shiftrightunsigned(docId, ${64 - fwdBucketBits}) as int)")
+  /** Target fwd rows per bucket for the adaptive width (delta segments). */
+  def fwdRowsPerBucket: Long =
+    sys.props.get("graft.fwd.rowsPerBucket")
+      .orElse(sys.env.get("GRAFT_FWD_ROWS_PER_BUCKET"))
+      .map(_.toLong).getOrElse(4096L)
+
+  /** Adaptive width: 0 (flat) until ~8 buckets' worth of rows, then
+    * ceil(log2(n / rowsPerBucket)) capped at the configured ceiling.
+    */
+  def chooseFwdBits(n: Long): Int = {
+    val rpb = fwdRowsPerBucket
+    if (n < 8 * rpb) 0
+    else math.min(fwdBucketBits,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / rpb)))
+  }
+
+  private[graft] def fbExpr(bits: Int): org.apache.spark.sql.Column =
+    expr(s"cast(shiftrightunsigned(docId, ${64 - bits}) as int)")
 
   /** Explicit fwd read schema: no footer-inference job, and an empty fwd
     * dir (a 0-row batch writes only _SUCCESS under partitionBy) still
@@ -101,13 +129,69 @@ object Tables {
   private[graft] val FwdSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[graft.index.AnalyzedPage].schema
 
-  /** Write an analyzed/fwd frame partitioned by docId bucket (one
-    * repartition so each bucket lands as one file, not one per task).
+  /** Marker file recording a fwd dir's bucket width (0 = flat layout). */
+  private def fwdBitsPath(base: String) = s"$base/_fwd_bits"
+
+  private def writeFwdBits(spark: SparkSession, path: String, bits: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(fwdBitsPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bits.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The RECORDED bucket width of a segment's fwd dir. Fails loudly when
+    * the recording is missing: guessing from runtime config is exactly
+    * the silent-mispruning hazard the recording exists to kill.
     */
-  def writeFwd(analyzed: DataFrame, path: String): Unit =
-    analyzed.withColumn("fb", fbExpr)
-      .repartition(col("fb"))
-      .write.mode("overwrite").partitionBy("fb").parquet(path)
+  def fwdBitsOf(io: TableIO, segment: String): Int =
+    io.readSmallFile(fwdBitsPath(s"${io.segmentDir(segment)}/fwd"))
+      .map(_.trim.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"segment $segment: fwd dir carries no _fwd_bits recording — " +
+          "cannot prune safely (was this fwd written by writeFwd?)"))
+
+  /** Write an analyzed/fwd frame at an explicit bucket width (one
+    * repartition so each bucket lands as one file, not one per task;
+    * bits=0 writes flat — no fb dirs). The width is recorded beside the
+    * data so readers never depend on runtime config.
+    */
+  def writeFwd(analyzed: DataFrame, path: String,
+               bits: Int = fwdBucketBits): Unit = {
+    if (bits <= 0)
+      analyzed.write.mode("overwrite").parquet(path)
+    else
+      analyzed.withColumn("fb", fbExpr(bits))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(path)
+    writeFwdBits(analyzed.sparkSession, path, math.max(bits, 0))
+  }
+
+  /** Write a DELTA fwd dir with the width adapted to its (unknown) row
+    * count: one flat pass with an Observation row count (zero extra
+    * jobs), then a bucketed rewrite — read from the just-written parquet,
+    * no re-extraction — only when the delta is large enough that flat
+    * scans of it would hurt later update batches. The steady-state small
+    * delta costs ONE flat write (a fixed-width 256-dir write costs
+    * seconds regardless of rows); a backfill-scale delta pays one extra
+    * O(delta) pass and gets full pruning. Returns the row count.
+    */
+  def writeFwdAdaptive(spark: SparkSession, analyzed: DataFrame,
+                       path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    writeFwd(analyzed.observe(obs, count(lit(1)).as("rows")), path, 0)
+    val n = obs.get("rows").asInstanceOf[Long]
+    val bits = chooseFwdBits(n)
+    if (bits > 0) {
+      val tmp = s"$path.bucketed"
+      writeFwd(spark.read.schema(FwdSchema).parquet(path), tmp, bits)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(path))
+    }
+    n
+  }
 
   /** One fwd/analyzed dir with the explicit schema (fb rides along from
     * the partition dirs when present).
@@ -115,23 +199,35 @@ object Tables {
   def readFwdDir(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(FwdSchema).parquet(path)
 
-  /** fwd rows of ONLY the given buckets: path-level pruning — the
-    * unaffected buckets' files are never even listed, so the heavy tfs
-    * bytes of untouched docs are structurally unreadable, not merely
-    * filtered (LsmSpec asserts the byte bound).
+  /** fwd rows of ONLY the affected docIds' buckets: path-level pruning —
+    * the unaffected buckets' files are never even listed, so the heavy
+    * tfs bytes of untouched docs are structurally unreadable, not merely
+    * filtered (LsmSpec asserts the byte bound). Each segment is pruned at
+    * its own RECORDED width (a flat segment, bits=0, is read whole — by
+    * construction it is small). The affected-bucket sets are collected
+    * per distinct width, each bounded by 2^bits rows.
     */
   def readFwdPruned(spark: SparkSession, io: TableIO, segments: Seq[String],
-                    buckets: Seq[Int]): DataFrame = {
-    val fbs = buckets.distinct.sorted
-    segments.map { s =>
+                    affected: DataFrame): DataFrame = {
+    import spark.implicits._
+    val segBits = segments.map(s => s -> fwdBitsOf(io, s))
+    val fbByBits: Map[Int, Seq[Int]] = segBits.map(_._2).filter(_ > 0).distinct
+      .map { bits =>
+        bits -> affected.select(fbExpr(bits).as("fb"))
+          .distinct().as[Int].collect().toSeq.sorted // bounded by 2^bits
+      }.toMap
+    segBits.map { case (s, bits) =>
       val base = s"${io.segmentDir(s)}/fwd"
-      val dirs = fbs.map(fb => s"$base/fb=$fb").filter(io.exists)
       val df =
-        if (dirs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FwdSchema)
-        else spark.read.schema(FwdSchema).option("basePath", base)
-          .parquet(dirs: _*).drop("fb")
+        if (bits == 0) readFwdDir(spark, base).drop("fb")
+        else {
+          val dirs = fbByBits(bits).map(fb => s"$base/fb=$fb").filter(io.exists)
+          if (dirs.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FwdSchema)
+          else spark.read.schema(FwdSchema).option("basePath", base)
+            .parquet(dirs: _*).drop("fb")
+        }
       df.withColumn("seg", lit(s))
     }.reduce(_.unionByName(_))
   }
@@ -267,6 +363,8 @@ object Tables {
       io.moveDir(analyzedDir, s"$seg/fwd")
     }
     val hasDelta = staged.isDefined
+    def sub[A](stage: String)(f: => A): A =
+      SyncJob.timed(batchId, s"merge.$stage")(f)
 
     val deltaIds: DataFrame =
       if (hasDelta) io.readParquet(s"$seg/docs").select($"docId")
@@ -276,13 +374,13 @@ object Tables {
     // every join below size-adapts on the counted set (the count also
     // feeds the O(delta) arithmetic, so it is not an extra pass at scale)
     val affected = deltaIds.union(purged.toDF("docId")).distinct().persist()
-    val affectedCount = affected.count()
+    val affectedCount = sub("affectedCount") { affected.count() }
 
     // the delta's doc count + doclen sum and the delta dict ride on the
     // written segment's pruned metadata columns
     val (deltaN, deltaDl) =
       if (!hasDelta) (0L, 0L)
-      else {
+      else sub("deltaStats") {
         val r = io.readParquet(s"$seg/docs")
           .agg(count(lit(1)), sum($"doclen")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -296,19 +394,17 @@ object Tables {
     // opens ONLY the affected docId buckets of fwd (path-level pruning),
     // so the heavy tfs column is read O(affected-buckets), not O(corpus).
     val tombsDf = old.tombstones.toDF("t_docId", "t_before")
-    val nExisting = spark.read
+    val nExisting = sub("existingCheck") { spark.read
       .parquet(old.segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
       .select($"docId")
       .join(maybeBroadcast(affected, affectedCount), Seq("docId"), "left_semi")
-      .count()
+      .count() }
     val killed = (
       if (nExisting == 0)
         spark.emptyDataset[(Long, String, Int, Map[String, Int])]
           .toDF("docId", "url", "doclen", "tfs")
       else {
-        val affectedFb = affected.select(fbExpr.as("fb"))
-          .distinct().as[Int].collect().toSeq // bounded by 2^fwdBucketBits
-        readFwdPruned(spark, io, old.segments, affectedFb)
+        readFwdPruned(spark, io, old.segments, affected)
           .select($"docId", $"url", $"doclen", $"tfs", $"seg")
           .join(maybeBroadcast(affected, affectedCount), Seq("docId"))
           .join(maybeBroadcast(tombsDf, old.tombstoneCount),
@@ -328,7 +424,8 @@ object Tables {
           s"docId collision across batches ($nColl urls); widen keys to " +
             "(docId, url) for this corpus")
       }
-      val kr = killed.agg(count(lit(1)), sum($"doclen")).head()
+      val kr = sub("killedStats") {
+        killed.agg(count(lit(1)), sum($"doclen")).head() }
       val killedN = kr.getLong(0)
       val killedDl = if (kr.isNullAt(1)) 0L else kr.getLong(1)
 
@@ -362,7 +459,8 @@ object Tables {
           array_union(coalesce($"files", emptyArr),
             coalesce($"addFiles", emptyArr)).as("files"))
         .filter($"df" > 0)
-      io.writeParquet(newDict, s"${io.versionDir(batchId)}/dict")
+      sub("dictWrite") {
+        io.writeParquet(newDict, s"${io.versionDir(batchId)}/dict") }
 
       // tombstones: new rows override old rows for the same docId. Two
       // sources: (a) killed = affected ids with a live older occurrence;
@@ -380,7 +478,7 @@ object Tables {
         .persist()
       // O(batch) rows — counted before the anti-join so a backfill-scale
       // batch falls back to a shuffle join instead of a driver broadcast
-      val newTombCount = newTombRows.count()
+      val newTombCount = sub("tombCount") { newTombRows.count() }
       val keptOld = old.tombstones.toDF()
         .join(maybeBroadcast(newTombRows.select($"docId"), newTombCount),
           Seq("docId"), "left_anti")
@@ -517,7 +615,9 @@ object Tables {
       case Some(f) => oldFwdLive.unionByName(f)
       case None => oldFwdLive
     }
-    writeFwd(fwdNew, s"$seg/fwd")
+    // compacted segment ≈ corpus-sized: width from the pre-compaction
+    // corpus count (already on hand — no extra pass)
+    writeFwd(fwdNew, s"$seg/fwd", chooseFwdBits(math.max(old.stats.n, 1L)))
     deriveDictStats(spark, io, batchId, Seq(batchId))
     overridden.unpersist()
   }

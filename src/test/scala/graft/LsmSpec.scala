@@ -293,8 +293,13 @@ class LsmSpec extends SparkTestBase {
     val seg1 = io.readManifest(io.currentVersion().get)._1.head
     val fwdBase = s"${io.segmentDir(seg1)}/fwd"
 
-    // the bucketed layout exists: ~2^fwdBucketBits fb= dirs
-    val shift = 64 - graft.sync.Tables.fwdBucketBits
+    // the bucketed layout exists: ~2^fwdBucketBits fb= dirs, and the
+    // width the initial build used is RECORDED with the segment (readers
+    // must never guess it from runtime config)
+    val bits = graft.sync.Tables.fwdBitsOf(io, seg1)
+    assert(bits == graft.sync.Tables.fwdBucketBits,
+      s"initial build must use the configured ceiling, recorded $bits")
+    val shift = 64 - bits
     val fbDirs = new java.io.File(fwdBase).listFiles()
       .filter(_.getName.startsWith("fb=")).map(_.getName)
     assert(fbDirs.length > 200, s"expected ~256 fwd buckets, got ${fbDirs.length}")
@@ -310,7 +315,8 @@ class LsmSpec extends SparkTestBase {
       s"pruned read $prunedBytes bytes vs $totalBytes total — not O(affected)")
 
     // the pruned read returns exactly the affected buckets' rows
-    val pruned = graft.sync.Tables.readFwdPruned(spark, io, Seq(seg1), fbs)
+    val pruned = graft.sync.Tables.readFwdPruned(spark, io, Seq(seg1),
+        spark.createDataset(affectedIds).toDF("docId"))
       .select("docId").as[Long].collect().toSet
     val fbSet = fbs.toSet
     val wantIds = rows.map(p => graft.index.DocIds.docId(p.url))
@@ -332,6 +338,14 @@ class LsmSpec extends SparkTestBase {
     assert(reader.stats.avgdl == oracle.avgdl)
     val got = reader.topK("document", 10).map(h => (h.docId, h.score)).toSeq
     assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+
+    // the 10-doc delta segment adapted to a FLAT fwd layout (a fixed-width
+    // 256-dir write costs seconds regardless of rows) — its recorded width
+    // is 0 and the mixed-width killed lookup above still pruned seg1
+    val segs2 = io.readManifest(io.currentVersion().get)._1
+    val deltaSeg = segs2.filterNot(_ == seg1).head
+    assert(graft.sync.Tables.fwdBitsOf(io, deltaSeg) == 0,
+      "a 10-row delta must not pay a 256-dir bucketed write")
   }
 
   test("query with a dict-dead term (df hit 0 under churn) must not crash") {
