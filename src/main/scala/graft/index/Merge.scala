@@ -18,7 +18,8 @@ case class IndexTables(
     tombstones: Dataset[Tombstone],
     tombstoneCount: Long,
     dict: Dataset[DictRow],
-    stats: CorpusStats)
+    stats: CorpusStats,
+    dictChain: Seq[String] = Seq.empty)
 
 /** docs + index plans of a merge, before dict/stats derivation (those are
   * computed from the *written* parquet so the encode shuffle never runs

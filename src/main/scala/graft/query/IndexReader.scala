@@ -48,9 +48,12 @@ class IndexReader(spark: SparkSession, root: String) {
   /** Dict, cached in memory (lazily, on the first probe): the dict is
     * O(vocabulary) — tiny next to the index — and every query starts
     * with a probe of it, so repeated queries must not re-scan parquet.
+    * The view folds the version's dict chain (one full link + the
+    * appends' signed deltas); a term-filtered probe pushes its predicate
+    * below the fold, so even uncached probes stay pruned scans.
     */
   val dict: DataFrame =
-    io.readParquet(s"${io.versionDir(version)}/dict").persist()
+    graft.sync.Tables.dictView(spark, io, io.readDictChain(version)).persist()
   val stats: CorpusStats = {
     val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
     CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),

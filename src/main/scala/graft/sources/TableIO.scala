@@ -37,6 +37,14 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
 
   def versionDir(batchId: String): String = s"$root/v=$batchId"
   def segmentDir(segId: String): String = s"$root/segments/$segId"
+
+  /** One link of the dict LSM chain: a FULL dict (initial build /
+    * compaction) or a per-batch DELTA (append — df/cf may be negative:
+    * the killed docs' subtraction). Stored outside v= dirs so a chain
+    * link outlives the version that wrote it (like segments), GC'd by
+    * manifest reference.
+    */
+  def dictDir(id: String): String = s"$root/dict/$id"
   def stagingDir(batchId: String, stage: String): String =
     s"$root/staging/$batchId/$stage"
   def checkpointsDir: String = s"$root/checkpoints"
@@ -60,10 +68,28 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
   }
 
   def writeManifest(version: String, segments: Seq[String],
-                    tombstoneCount: Long): Unit =
+                    tombstoneCount: Long,
+                    dictChain: Seq[String] = Seq.empty): Unit = {
+    val dict =
+      if (dictChain.isEmpty) ""
+      else dictChain.map("\"" + _ + "\"").mkString(",\"dict\":[", ",", "]")
     writeSmallFile(s"${versionDir(version)}/manifest",
       segments.map("\"" + _ + "\"").mkString(
-        "{\"segments\":[", ",", s"],\"tombstones\":$tombstoneCount}"))
+        "{\"segments\":[", ",", s"],\"tombstones\":$tombstoneCount$dict}"))
+  }
+
+  /** The version's dict chain, oldest first: one FULL dict id followed by
+    * zero or more DELTA ids (appends since the last fold). Falls back to
+    * [version] for manifests predating the chain field.
+    */
+  def readDictChain(version: String): Seq[String] = {
+    val content = readSmallFile(s"${versionDir(version)}/manifest").getOrElse(
+      throw new IllegalStateException(s"no manifest for version $version"))
+    TableIO.ManifestDictRe.findFirstMatchIn(content)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(version))
+  }
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
@@ -144,6 +170,18 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
         .filterNot(referenced)
         .filterNot(_ > newestPublished)
         .foreach(s => deleteDir(segmentDir(s)))
+    // dict chain links share the segment GC discipline: keep what a kept
+    // manifest references plus anything newer than the newest published
+    // version (an in-flight batch's link)
+    val refDict = kept.flatMap(readDictChain).toSet
+    val dictRoot = new Path(s"$root/dict")
+    if (fs.exists(dictRoot))
+      fs.listStatus(dictRoot).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(refDict)
+        .filterNot(_ > newestPublished)
+        .foreach(d => deleteDir(dictDir(d)))
   }
 
   /** Single-flight job guard (reference: areAnyJobsFromSourceRunning,
@@ -238,4 +276,5 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
 object TableIO {
   private val ManifestSegsRe = """"segments":\[([^\]]*)\]""".r
   private val ManifestTombsRe = """"tombstones":(\d+)""".r
+  private val ManifestDictRe = """"dict":\[([^\]]*)\]""".r
 }

@@ -242,13 +242,45 @@ object Tables {
   def needsCompaction(t: IndexTables): Boolean =
     t.segments.size >= compactThreshold ||
       (t.stats.n > 0 && t.tombstoneCount > t.stats.n / 5) ||
-      t.tombstoneCount > tombstoneAbsoluteCap
+      t.tombstoneCount > tombstoneAbsoluteCap ||
+      // purge-only batches grow the dict chain without adding segments —
+      // the chain must fold too (bounds the per-probe union width)
+      t.dictChain.size >= compactThreshold
 
   // ---- load ----------------------------------------------------------
+
+  /** Schema for dict reads — skips footer inference (one driver job per
+    * spark.read otherwise) and lets an all-empty delta dir read cleanly.
+    */
+  private[graft] val DictSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[DictRow].schema
+
+  /** The dict of a version = its chain folded: one FULL dict (written at
+    * initial build / compaction) plus the appends' DELTA dicts (df/cf
+    * signed, summed per term; a term whose live df reached 0 drops out).
+    * A single-link chain reads directly — no aggregation. A query's dict
+    * probe filters on `term` — the grouping key — so Catalyst pushes the
+    * filter below the aggregate and the probe stays a pruned scan even on
+    * a multi-link chain.
+    */
+  def dictView(spark: SparkSession, io: TableIO,
+               chain: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(chain.nonEmpty, "empty dict chain")
+    val read = spark.read.schema(DictSchema)
+      .parquet(chain.map(io.dictDir): _*)
+    if (chain.size == 1) read
+    else read
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
+        array_distinct(flatten(collect_list($"files"))).as("files"))
+      .filter($"df" > 0)
+  }
 
   def load(spark: SparkSession, io: TableIO, version: String): IndexTables = {
     import spark.implicits._
     val (segs, tombCount) = io.readManifest(version)
+    val chain = io.readDictChain(version)
     val dir = io.versionDir(version)
     val docsRaw = spark.read
       .parquet(segs.map(s => s"${io.segmentDir(s)}/docs"): _*).as[DocRow]
@@ -257,12 +289,12 @@ object Tables {
     val tombs =
       if (tombCount == 0) spark.emptyDataset[Tombstone]
       else io.readParquet(s"$dir/tombstones").as[Tombstone]
-    val dict = io.readParquet(s"$dir/dict").as[DictRow]
+    val dict = dictView(spark, io, chain).as[DictRow]
     val r = io.readParquet(s"$dir/stats").head()
     val stats = CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),
       r.getAs[Long]("sumDl"))
     IndexTables(version, segs, liveDocs(docsRaw, tombs, tombCount), index,
-      tombs, tombCount, dict, stats)
+      tombs, tombCount, dict, stats, chain)
   }
 
   def loadCurrent(spark: SparkSession, io: TableIO): Option[IndexTables] =
@@ -311,28 +343,28 @@ object Tables {
     deriveDictStats(spark, io, batchId, Seq(batchId))
   }
 
-  /** dict + corpus stats from a single freshly written segment (pruned
-    * metadata-column scans — the encode shuffle never re-runs), plus the
-    * version manifest with an empty tombstone set.
+  /** FULL dict + corpus stats from a single freshly written segment
+    * (pruned metadata-column scans — the encode shuffle never re-runs),
+    * plus the version manifest with an empty tombstone set and a
+    * one-link dict chain.
     */
   def deriveDictStats(spark: SparkSession, io: TableIO, ver: String,
                       segments: Seq[String]): Unit = {
     import spark.implicits._
-    val dir = io.versionDir(ver)
     val idx = spark.read
       .parquet(segments.map(s => s"${io.segmentDir(s)}/index"): _*)
       .withColumn("f", input_file_name()) // project first: agg args must be deterministic
     io.writeParquet(
       idx.groupBy($"term").agg(sum($"count").as("df"), sum($"tfSum").as("cf"),
         collect_set($"f").as("files")),
-      s"$dir/dict")
+      io.dictDir(ver))
     val row = spark.read
       .parquet(segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
       .agg(count(lit(1)), sum($"doclen")).head()
     val n = row.getLong(0)
     val sumDl = if (row.isNullAt(1)) 0L else row.getLong(1)
     writeStats(spark, io, ver, n, sumDl)
-    io.writeManifest(ver, segments, 0L)
+    io.writeManifest(ver, segments, 0L, Seq(ver))
   }
 
   private def writeStats(spark: SparkSession, io: TableIO, ver: String,
@@ -429,10 +461,13 @@ object Tables {
       val killedN = kr.getLong(0)
       val killedDl = if (kr.isNullAt(1)) 0L else kr.getLong(1)
 
-      // dict: old ⊕ delta ⊖ killed, exact integer arithmetic. Block-
-      // pointer files union in the delta segment's files; dead postings
-      // stay physically inside old files until compaction, so the old
-      // pointers remain correct (a superset is fine for pruning).
+      // dict DELTA: ⊕ the delta segment's term stats ⊖ the killed docs',
+      // written as ONE signed delta link appended to the dict chain —
+      // O(delta terms), the old dict (O(vocabulary)) is never read or
+      // rewritten (readers fold the chain per term; compaction writes the
+      // next full link). Block-pointer files union in at fold time; dead
+      // postings stay physically inside old files until compaction, so
+      // the old pointers remain correct (a superset is fine for pruning).
       val dictAdd =
         if (!hasDelta)
           spark.emptyDataset[(String, Long, Long)]
@@ -448,19 +483,17 @@ object Tables {
         .groupBy($"term")
         .agg(count(lit(1)).as("subDf"), sum($"tf").as("subCf"))
       val emptyArr = typedLit(Seq.empty[String])
-      val newDict = old.dict.toDF()
-        .join(dictAdd, Seq("term"), "full_outer")
+      val dictDelta = dictAdd
         .join(dictSub, Seq("term"), "full_outer")
         .select($"term",
-          (coalesce($"df", lit(0L)) + coalesce($"addDf", lit(0L)) -
-            coalesce($"subDf", lit(0L))).as("df"),
-          (coalesce($"cf", lit(0L)) + coalesce($"addCf", lit(0L)) -
-            coalesce($"subCf", lit(0L))).as("cf"),
-          array_union(coalesce($"files", emptyArr),
-            coalesce($"addFiles", emptyArr)).as("files"))
-        .filter($"df" > 0)
+          (coalesce($"addDf", lit(0L)) - coalesce($"subDf", lit(0L)))
+            .as("df"),
+          (coalesce($"addCf", lit(0L)) - coalesce($"subCf", lit(0L)))
+            .as("cf"),
+          coalesce($"addFiles", emptyArr).as("files"))
+        .filter($"df" =!= 0 || $"cf" =!= 0 || size($"files") > 0)
       sub("dictWrite") {
-        io.writeParquet(newDict, s"${io.versionDir(batchId)}/dict") }
+        io.writeParquet(dictDelta, io.dictDir(batchId)) }
 
       // tombstones: new rows override old rows for the same docId. Two
       // sources: (a) killed = affected ids with a live older occurrence;
@@ -499,7 +532,7 @@ object Tables {
         old.stats.n - killedN + deltaN,
         old.stats.sumDl - killedDl + deltaDl)
       val segs = if (hasDelta) old.segments :+ batchId else old.segments
-      io.writeManifest(batchId, segs, tombCount)
+      io.writeManifest(batchId, segs, tombCount, old.dictChain :+ batchId)
     } finally { killed.unpersist(); affected.unpersist() }
   }
 

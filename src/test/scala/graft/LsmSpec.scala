@@ -382,6 +382,69 @@ class LsmSpec extends SparkTestBase {
     }
   }
 
+  test("dict chain: signed deltas fold to the exact oracle dict under churn") {
+    val prev = sys.props.get("graft.compact.segments")
+    sys.props("graft.compact.segments") = "99" // keep the chain unfolded
+    try {
+      val root = tmpDir("graft-dictchain")
+      val io = new TableIO(spark, root)
+      val N = 400
+      val rows = Corpus.localRows(N)
+      def urlIdx(p: PageRow): Int = p.url.split("/").last.toInt
+      SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+      // churn: update 30 docs, purge 40, append 20 new — three delta links
+      val upd = rows.map(p =>
+        if (urlIdx(p) < 30)
+          p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(urlIdx(p) + 10L * N)))
+        else p)
+      SyncJob.run(spark, io, spark.createDataset(upd), ts(11L * N))
+      val kept = upd.filter(urlIdx(_) < 360)
+      PurgeJob.run(spark, io, spark.createDataset(kept), ts(12L * N))
+      // fresh timestamps: appended docs must sit above the watermark
+      val extended = kept ++ Corpus.localRows(N + 20).drop(N)
+        .zipWithIndex.map { case (p, j) =>
+          p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(12L * N + j + 1)))
+        }
+      SyncJob.run(spark, io, spark.createDataset(extended), ts(13L * N))
+
+      val ver = io.currentVersion().get
+      val chain = io.readDictChain(ver)
+      assert(chain.size == 4, s"expected 1 full + 3 delta links, got $chain")
+
+      // the folded view must equal the oracle dict over LIVE docs exactly
+      val oracle = new NaiveIndex(extended)
+      val got = graft.sync.Tables.dictView(spark, io, chain)
+        .select($"term", $"df", $"cf").as[(String, Long, Long)]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      val want = oracle.postings.keySet.map(t =>
+        t -> ((oracle.df(t), oracle.cf(t)))).toMap
+      assert(got == want, {
+        val onlyGot = got.keySet -- want.keySet
+        val onlyWant = want.keySet -- got.keySet
+        val diff = got.keySet.intersect(want.keySet)
+          .filter(t => got(t) != want(t)).take(5)
+        s"dict diverged: extra=$onlyGot missing=$onlyWant drifted=" +
+          diff.map(t => s"$t got=${got(t)} want=${want(t)}").mkString(",")
+      })
+
+      // and the next sync (threshold back to normal) folds the chain
+      sys.props("graft.compact.segments") = "3"
+      SyncJob.run(spark, io,
+        spark.createDataset(extended ++ Corpus.localRows(N + 30).drop(N + 20)
+          .zipWithIndex.map { case (p, j) =>
+            p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(13L * N + j + 1)))
+          }),
+        ts(14L * N))
+      val chain2 = io.readDictChain(io.currentVersion().get)
+      assert(chain2.size == 1, s"compaction must fold the chain, got $chain2")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.compact.segments") = v
+        case None => sys.props.remove("graft.compact.segments")
+      }
+    }
+  }
+
   test("single-flight: a held lock refuses a second job, stale locks break") {
     val root = tmpDir("graft-lock")
     val io = new TableIO(spark, root)
