@@ -418,31 +418,19 @@ object SparkEntry {
     * (hi = bits 33..64, lo = bits 1..32) so neither engine risks
     * signed-64 overflow on the top bit. Bit b of a term's hyperplane
     * vector is bit (b-1)%4 of md5 hex digit ceil(b/4).
+    *
+    * Computed by the codegen'd `simhash64` Catalyst expression — one
+    * tokenize+vote pass per doc (ExpressionSpec pins it bit-identical to
+    * the explicit 64-way explode pipeline; the DuckDB oracle keeps the
+    * explode form).
     */
-  private def simhashHalves(s: SparkSession, dir: String): DataFrame = {
-    // pre-aggregate tf per (doc, term-hash) BEFORE the 64-way bit
-    // explode: the ±1-per-occurrence vote equals ±tf per distinct term,
-    // and the exploded row count drops from Σ doclen × 64 to
-    // Σ |vocab(doc)| × 64
-    val th = tok(s, dir)
-      .groupBy(col("doc_id"), md5(col("term")).as("h"))
-      .agg(count(lit(1)).as("w"))
-    th.crossJoin(s.range(1, 65).select(col("id").cast("int").as("b")))
-      .select(col("doc_id"), col("b"), col("w"),
-        expr("cast(conv(substring(h, (b+3) div 4, 1), 16, 10) as int)").as("v"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(
-        expr("cast(floor(v / pow(2, (b-1) % 4)) as int) % 2") === 1, col("w"))
-        .otherwise(-col("w"))).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("s") > 0 && col("b") > 32,
-          pow(lit(2), col("b") - 33).cast("bigint")).otherwise(0L))
-          .as("simhash_hi"),
-        sum(when(col("s") > 0 && col("b") <= 32,
-          pow(lit(2), col("b") - 1).cast("bigint")).otherwise(0L))
-          .as("simhash_lo"))
-  }
+  private def simhashHalves(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(col("text")).as("sh"))
+      .select(col("doc_id"),
+        col("sh.simhash_hi").as("simhash_hi"),
+        col("sh.simhash_lo").as("simhash_lo"))
 
   /** Cached per (session, dir): q_dedup_simhash and q_simhash_near share
     * one pipeline run, and the near query references the halves frame

@@ -79,6 +79,44 @@ class ExpressionSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("simhash64 == the 64-way md5-bit explode pipeline, bit-identical") {
+    // documents-like texts: lowercase tokens, repeats (tf weighting),
+    // double/trailing spaces (split(' ', -1) semantics must agree)
+    val docs = ((0L until 60L).map { i =>
+      val toks = (0 until (3 + (Corpus.mix(i) % 20).toInt.abs))
+        .map(j => Corpus.contentWord(math.floorMod(Corpus.mix(i * 7 + j), 50).toInt))
+      (i, toks.mkString(" "))
+    } :+ ((60L, "a  b c ")) :+ ((61L, ""))).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh.simhash_hi"), col("sh.simhash_lo"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, h, l) => d -> ((h, l)) }.toMap
+    // the explicit column-pipeline reference (what the DuckDB oracle runs)
+    val th = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), md5(col("term")).as("h"))
+      .agg(count(lit(1)).as("w"))
+    val want = th
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("b")))
+      .select(col("doc_id"), col("b"), col("w"),
+        expr("cast(conv(substring(h, (b+3) div 4, 1), 16, 10) as int)").as("v"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(
+        expr("cast(floor(v / pow(2, (b-1) % 4)) as int) % 2") === 1, col("w"))
+        .otherwise(-col("w"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("s") > 0 && col("b") > 32,
+          pow(lit(2), col("b") - 33).cast("bigint")).otherwise(0L)).as("hi"),
+        sum(when(col("s") > 0 && col("b") <= 32,
+          pow(lit(2), col("b") - 1).cast("bigint")).otherwise(0L)).as("lo"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, h, l) => d -> ((h, l)) }.toMap
+    assert(got == want)
+  }
+
   test("SQL surface: functions usable via spark.sql after registration") {
     graft.plans.GraftExtensions.register(spark)
     Corpus.pages(spark, 20, 2).toDF().createOrReplaceTempView("pages_sql")
