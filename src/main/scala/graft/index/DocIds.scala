@@ -29,11 +29,35 @@ object DocIds extends Serializable {
   def docId(url: String): Long =
     XxHash64Function.hash(UTF8String.fromString(url), StringType, Seed)
 
-  val bucketBits = 5
-  val numBuckets: Int = 1 << bucketBits // 32
+  /** Configured bucket width for NEW builds (sysprop/env overridable like
+    * every other tunable; cached in a field — hot loops call bucket() per
+    * posting). 2^bits buckets cap both the per-term skew split and the
+    * per-query bucket parallelism, so production raises it with corpus
+    * size (at 10^12 docs a 5-bit width leaves ~3×10^10 postings of a
+    * stopword in one encoder run). The width an INDEX was built at is
+    * persisted in its manifest — read paths use that recorded value
+    * (IndexReader), and new batches against an existing index are checked
+    * against it (fail loudly, never silently mis-bucket). Changing the
+    * width changes block layout and parallelism, never answers
+    * (BucketBitsSpec rank-invariance).
+    */
+  @volatile var bucketBits: Int = computeBits
+  private def computeBits: Int =
+    sys.props.get("graft.docid.bucketBits")
+      .orElse(sys.env.get("GRAFT_DOCID_BUCKET_BITS"))
+      .map(_.toInt).getOrElse(5)
+  /** Re-read the sysprop/env (tests toggle widths within one JVM). */
+  def refreshBucketBits(): Unit = bucketBits = computeBits
+
+  def numBuckets: Int = 1 << bucketBits
 
   /** Top bits of the unsigned 64-bit docId → [0, numBuckets). */
   def bucket(docId: Long): Int = (docId >>> (64 - bucketBits)).toInt
+
+  /** Bucket at an EXPLICIT width — read paths pass the index's recorded
+    * width, independent of runtime config.
+    */
+  def bucket(docId: Long, bits: Int): Int = (docId >>> (64 - bits)).toInt
 
   /** Unsigned lower bound of a bucket's docId range (as signed Long). */
   def bucketBase(bucket: Int): Long = bucket.toLong << (64 - bucketBits)

@@ -19,7 +19,8 @@ case class IndexTables(
     tombstoneCount: Long,
     dict: Dataset[DictRow],
     stats: CorpusStats,
-    dictChain: Seq[String] = Seq.empty)
+    dictChain: Seq[String] = Seq.empty,
+    bucketBits: Int = DocIds.bucketBits)
 
 /** docs + index plans of a merge, before dict/stats derivation (those are
   * computed from the *written* parquet so the encode shuffle never runs

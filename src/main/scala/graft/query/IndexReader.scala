@@ -33,6 +33,12 @@ class IndexReader(spark: SparkSession, root: String) {
 
   val (segments: Seq[String], tombstoneCount: Long) = io.readManifest(version)
 
+  /** The docId bucket width this index was BUILT at (from the manifest —
+    * never runtime config: blocks carry these bucket values, and every
+    * read-side bucket computation must agree with them).
+    */
+  val bucketBits: Int = io.readBucketBits(version)
+
   private def segPaths(sub: String): Seq[String] =
     segments.map(s => s"${io.segmentDir(s)}/$sub")
 
@@ -191,8 +197,9 @@ class IndexReader(spark: SparkSession, root: String) {
         // dead entries and the full set never converges on the driver
         // (the tombstone shuffle moves ≤ the set once, partitioned)
         val bIdf = spark.sparkContext.broadcast(idf)
+        val bits = bucketBits // recorded width — must match the blocks'
         val tombsByBucket = tombstonesDf.as[Tombstone]
-          .groupByKey(t => graft.index.DocIds.bucket(t.docId))
+          .groupByKey(t => graft.index.DocIds.bucket(t.docId, bits))
         filtered
           .groupByKey(_.bucket)
           .cogroup(tombsByBucket) { (_, blocks, ts) =>

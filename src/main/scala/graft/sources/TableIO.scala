@@ -69,13 +69,27 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
 
   def writeManifest(version: String, segments: Seq[String],
                     tombstoneCount: Long,
-                    dictChain: Seq[String] = Seq.empty): Unit = {
+                    dictChain: Seq[String] = Seq.empty,
+                    bucketBits: Int = graft.index.DocIds.bucketBits): Unit = {
     val dict =
       if (dictChain.isEmpty) ""
       else dictChain.map("\"" + _ + "\"").mkString(",\"dict\":[", ",", "]")
     writeSmallFile(s"${versionDir(version)}/manifest",
       segments.map("\"" + _ + "\"").mkString(
-        "{\"segments\":[", ",", s"],\"tombstones\":$tombstoneCount$dict}"))
+        "{\"segments\":[", ",",
+        s"],\"tombstones\":$tombstoneCount$dict," +
+          s""""bucketBits":$bucketBits}"""))
+  }
+
+  /** The docId bucket width this index was built at (recorded per
+    * version; read paths must use it instead of runtime config).
+    */
+  def readBucketBits(version: String): Int = {
+    val content = readSmallFile(s"${versionDir(version)}/manifest").getOrElse(
+      throw new IllegalStateException(s"no manifest for version $version"))
+    TableIO.ManifestBitsRe.findFirstMatchIn(content)
+      .map(_.group(1).toInt)
+      .getOrElse(graft.index.DocIds.bucketBits)
   }
 
   /** The version's dict chain, oldest first: one FULL dict id followed by
@@ -277,4 +291,5 @@ object TableIO {
   private val ManifestSegsRe = """"segments":\[([^\]]*)\]""".r
   private val ManifestTombsRe = """"tombstones":(\d+)""".r
   private val ManifestDictRe = """"dict":\[([^\]]*)\]""".r
+  private val ManifestBitsRe = """"bucketBits":(\d+)""".r
 }

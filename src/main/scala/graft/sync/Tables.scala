@@ -294,8 +294,20 @@ object Tables {
     val stats = CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),
       r.getAs[Long]("sumDl"))
     IndexTables(version, segs, liveDocs(docsRaw, tombs, tombCount), index,
-      tombs, tombCount, dict, stats, chain)
+      tombs, tombCount, dict, stats, chain, io.readBucketBits(version))
   }
+
+  /** New batches must bucket postings exactly like the index they join —
+    * a silent width mismatch would interleave foreign docId ranges inside
+    * (term,bucket) runs and corrupt delta-gap encoding.
+    */
+  private def checkBucketBits(old: IndexTables): Unit =
+    if (old.bucketBits != graft.index.DocIds.bucketBits)
+      throw new IllegalStateException(
+        s"index ${old.version} was built with bucketBits=${old.bucketBits} " +
+          s"but this batch runs with ${graft.index.DocIds.bucketBits} — " +
+          "set graft.docid.bucketBits/GRAFT_DOCID_BUCKET_BITS to match " +
+          "(width changes require a full rebuild)")
 
   def loadCurrent(spark: SparkSession, io: TableIO): Option[IndexTables] =
     io.currentVersion().map(v => load(spark, io, v))
@@ -388,6 +400,7 @@ object Tables {
                     batchId: String, staged: Option[(String, String, String)],
                     purged: Dataset[Long]): Unit = {
     import spark.implicits._
+    checkBucketBits(old)
     val seg = io.segmentDir(batchId)
     staged.foreach { case (docsDir, blocksDir, analyzedDir) =>
       io.moveDir(docsDir, s"$seg/docs")
@@ -550,6 +563,7 @@ object Tables {
                      staged: Option[(String, String, String)],
                      purged: Dataset[Long]): Unit = {
     import spark.implicits._
+    checkBucketBits(old)
     val baseSeg = old.segments.head
     val tailSegs = old.segments.tail
     val baseDocs = io.readParquet(s"${io.segmentDir(baseSeg)}/docs").as[DocRow]
