@@ -76,14 +76,12 @@ object Main {
         val q = opts.getOrElse("q", sys.error("--q required"))
         val k = opts.get("k").map(_.toInt).getOrElse(10)
         val reader = new IndexReader(spark, root)
-        val stamp = graft.index.Positional.builtFrom(spark, s"$root/posindex")
-        if (!stamp.contains(reader.version))
-          System.err.println(
-            s"[graft] WARNING: posindex built from ${stamp.getOrElse("?")} " +
-              s"but current index is ${reader.version} — phrase results may " +
-              "include purged or stale documents; re-run index-pos")
-        val hits = graft.query.Phrase.topK(spark, s"$root/posindex", q, k,
-          reader.stats.n, reader.stats.avgdl)
+        // maintained posindex: base + per-sync deltas, liveness verified
+        // against the live docs table — purges and updates since the last
+        // index-pos run are answered correctly without a rebuild; a
+        // coverage gap errors crisply inside topKLive
+        val hits = graft.query.Phrase.topKLive(spark, io, s"$root/posindex",
+          q, k, reader)
         if (hits.isEmpty) println("no hits")
         else hits.zipWithIndex.foreach { case (h, i) =>
           println(f"${i + 1}%2d  ${h.score}%.6f  ${h.docId}%20d")

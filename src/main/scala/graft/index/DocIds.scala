@@ -42,23 +42,33 @@ object DocIds extends Serializable {
     * (BucketBitsSpec rank-invariance).
     */
   @volatile var bucketBits: Int = computeBits
-  private def computeBits: Int =
-    sys.props.get("graft.docid.bucketBits")
+  private def computeBits: Int = {
+    val bits = sys.props.get("graft.docid.bucketBits")
       .orElse(sys.env.get("GRAFT_DOCID_BUCKET_BITS"))
       .map(_.toInt).getOrElse(5)
+    // floor 1: within a bucket all docIds share their top bit(s), so
+    // signed ascending == unsigned ascending and delta-gaps stay
+    // non-negative — 0 bits would mix signs inside one encoder run
+    require(bits >= 1 && bits <= 16, s"bucketBits must be in [1,16]: $bits")
+    bits
+  }
   /** Re-read the sysprop/env (tests toggle widths within one JVM). */
   def refreshBucketBits(): Unit = bucketBits = computeBits
 
   def numBuckets: Int = 1 << bucketBits
 
   /** Top bits of the unsigned 64-bit docId → [0, numBuckets). */
-  def bucket(docId: Long): Int = (docId >>> (64 - bucketBits)).toInt
+  def bucket(docId: Long): Int = bucket(docId, bucketBits)
 
   /** Bucket at an EXPLICIT width — read paths pass the index's recorded
-    * width, independent of runtime config.
+    * width, independent of runtime config. (bits=0 = one bucket; the
+    * shift must be branched — a 64-bit shift is a no-op in JVM/Spark
+    * semantics, not zero.)
     */
-  def bucket(docId: Long, bits: Int): Int = (docId >>> (64 - bits)).toInt
+  def bucket(docId: Long, bits: Int): Int =
+    if (bits == 0) 0 else (docId >>> (64 - bits)).toInt
 
   /** Unsigned lower bound of a bucket's docId range (as signed Long). */
-  def bucketBase(bucket: Int): Long = bucket.toLong << (64 - bucketBits)
+  def bucketBase(bucket: Int): Long =
+    if (bucketBits == 0) 0L else bucket.toLong << (64 - bucketBits)
 }

@@ -130,21 +130,38 @@ object Positional extends Serializable {
     out
   }
 
-  /** Build the positional index; `builtFrom` stamps the main-index version
-    * it was derived from, so query time can detect a stale posindex (the
-    * main index is maintained by sync/purge, this table is not — unlike
-    * the reference, where deletes propagate to the Solr core directly).
+  /** Encode one pages frame into a flat positional-blocks dir. */
+  def writeBlocks(pages: Dataset[PageRow], dir: String): Unit =
+    buildBlocks(toPositionalPostings(pages)).toDF()
+      .write.mode("overwrite").parquet(dir)
+
+  /** (Re)build the maintained posindex BASE under `posRoot`:
+    *
+    * {{{
+    * posRoot/base/              blocks of the supplied live-pages snapshot
+    * posRoot/base/_built_from   the index version the snapshot reflects
+    * posRoot/delta/<batchId>/   per-sync deltas, written by SyncJob while
+    *                            the base exists
+    * }}}
+    *
+    * `builtFrom` is the batch STAMP the base is authoritative as of (a
+    * base match for docId d is live iff live docs carry batch_id ≤ stamp
+    * — see [[graft.query.Phrase]]). Deltas predating a rebuilt base are
+    * subsumed by it and DELETED here: leaving them would double-count a
+    * doc that passed both its delta's stamp and the new base's.
     */
-  def build(spark: SparkSession, pages: Dataset[PageRow], dir: String,
-            builtFrom: Option[String] = None): Unit = {
-    val blocks = buildBlocks(toPositionalPostings(pages))
-    blocks.toDF().write.mode("overwrite").parquet(dir)
-    builtFrom.foreach { v =>
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_built_from"), true)
-      try out.write(v.getBytes("UTF-8")) finally out.close()
-    }
+  def build(spark: SparkSession, pages: Dataset[PageRow], posRoot: String,
+            builtFrom: Option[String]): Unit = {
+    val stamp = builtFrom.getOrElse(throw new IllegalStateException(
+      "index-pos requires a published main index (the base is stamped " +
+        "with its version for LSM liveness) — sync first"))
+    val base = s"$posRoot/base"
+    writeBlocks(pages, base)
+    val fs = new org.apache.hadoop.fs.Path(posRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$posRoot/delta"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/_built_from"), true)
+    try out.write(stamp.getBytes("UTF-8")) finally out.close()
   }
 
   /** The main-index version a posindex dir was built from, if stamped. */

@@ -91,8 +91,11 @@ object SegmentBuilder extends Serializable {
       .select(col("docId"), col("doclen"),
         explode(col("tfs")).as(Seq("term", "tf")))
       .select(col("term"),
-        shiftrightunsigned(col("docId"), 64 - DocIds.bucketBits)
-          .cast("int").as("bucket"),
+        // bits=0 must be branched: a 64-bit shiftrightunsigned is a no-op
+        // (shift count masked to 6 bits), not zero
+        (if (DocIds.bucketBits == 0) lit(0)
+         else shiftrightunsigned(col("docId"), 64 - DocIds.bucketBits)
+           .cast("int")).as("bucket"),
         col("docId"), col("tf").cast("int").as("tf"),
         col("doclen").as("dl"))
       .as[Posting]

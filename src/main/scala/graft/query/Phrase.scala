@@ -1,29 +1,55 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Hit
 import graft.index.{PosBlock, Positional}
+import graft.sources.TableIO
 
-/** Exact phrase top-k over a positional index (SURVEY §7.7; Solr-surface
+/** Exact phrase top-k over the positional index (SURVEY §7.7; Solr-surface
   * analog: `q="exact phrase"`).
   *
   * Semantics: a document matches iff the phrase's tokens occur at
   * consecutive positions; phrase tf = number of occurrences. Scoring =
   * BM25 with the phrase treated as one synthetic term: df = #matching
-  * docs, tf = phrase tf — computed over the candidate set, deterministic
-  * (score desc, docId asc).
+  * LIVE docs, tf = phrase tf — computed over the candidate set,
+  * deterministic (score desc, docId asc).
   *
-  * Plan: per (bucket) group, intersect the phrase terms' position lists
-  * doc-at-a-time (positions of term i must contain p+i), emitting
-  * (docId, dl, phraseTf); a global agg supplies df; scores are exact.
+  * Plan: per (source, bucket) group, intersect the phrase terms' posting
+  * streams doc-at-a-time via BLOCK CURSORS — each term decodes one
+  * 128-doc block at a time (galloping on the rarest term), so a stopword
+  * phrase ("of the") keeps O(terms × block) decoded positions resident
+  * instead of the bucket's whole position lists (PhraseSpec asserts the
+  * bound); a global agg supplies df; scores are exact.
+  *
+  * LSM liveness (maintained posindex, [[Positional]] base+delta layout):
+  * each source carries a batch STAMP (base = the index version it was
+  * built from; delta = its sync batchId). A doc's tokens live wholly in
+  * one source, and a match from source stamped E is live iff the CURRENT
+  * live docs table has (docId, batch_id ≤ E) — purged docs have no live
+  * row, updated docs have batch_id above every stale source's stamp, and
+  * at most one source passes per doc. No positional tombstones needed,
+  * and purge/compaction require no posindex writes at all.
   */
 object Phrase {
 
   case class PhraseMatch(docId: Long, dl: Int, phraseTf: Int)
 
-  /** Position-list intersection for one doc: count of p where term i has
-    * position p+i for all i.
+  // ---- resident-memory accounting (test-asserted scale property) ------
+  /** Decoded positions currently resident across all phrase cursors in
+    * this JVM, and the high-water mark (local-mode tests assert the mark
+    * stays O(terms × block), far below a bucket's total positions).
+    */
+  private val resident = new java.util.concurrent.atomic.AtomicLong()
+  val maxResidentPositions = new java.util.concurrent.atomic.LongAccumulator(
+    java.lang.Long.max _, 0L)
+  def resetResidentTracking(): Unit = {
+    resident.set(0L); maxResidentPositions.reset()
+  }
+
+  /** Position-list intersection for one doc: count of p where slot i has
+    * position p+i for all i (slots = phrase terms in order; duplicates
+    * share a positions array).
     */
   private[query] def phraseCount(positions: Array[Array[Int]]): Int = {
     if (positions.exists(_.isEmpty)) return 0
@@ -45,73 +71,245 @@ object Phrase {
     count
   }
 
-  /** All phrase matches in one bucket's blocks (terms in phrase order). */
+  /** Streaming cursor over one term's blocks in one (source, bucket):
+    * blocks are docId-sorted and disjoint; exactly ONE block is decoded
+    * at a time (the r3 shape decoded every term's full bucket into a
+    * Map — an executor-OOM risk on stopword phrases).
+    */
+  private[query] final class PosCursor(blocks0: Array[PosBlock]) {
+    private val blocks = blocks0.sortBy(_.firstDocId)
+    val totalPostings: Long = blocks.iterator.map(_.count.toLong).sum
+    private var bi = -1
+    private var decoded: Array[(Long, Int, Array[Int])] = _
+    private var decodedPos = 0L
+    private var pi = 0
+    var curDoc: Long = _
+    advanceBlock()
+
+    def exhausted: Boolean = curDoc == Long.MaxValue
+    def dl: Int = decoded(pi)._2
+    def positions: Array[Int] = decoded(pi)._3
+
+    private def releaseBlock(): Unit =
+      if (decodedPos > 0) { resident.addAndGet(-decodedPos); decodedPos = 0 }
+
+    private def advanceBlock(): Unit = {
+      releaseBlock()
+      bi += 1
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; decoded = null }
+      else {
+        decoded = Positional.decodeBlock(blocks(bi))
+        decodedPos = decoded.iterator.map(_._3.length.toLong).sum
+        maxResidentPositions.accumulate(resident.addAndGet(decodedPos))
+        pi = 0
+        curDoc = decoded(0)._1
+      }
+    }
+
+    /** Advance to the first doc >= target. Whole blocks are skipped by
+      * metadata (blocks are docId-disjoint and sorted, so a block ends
+      * before its successor's firstDocId) — only the landing block
+      * decodes.
+      */
+    def seek(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      if (bi + 1 < blocks.length && blocks(bi + 1).firstDocId <= target) {
+        releaseBlock()
+        while (bi + 1 < blocks.length && blocks(bi + 1).firstDocId <= target)
+          bi += 1
+        bi -= 1 // advanceBlock() re-increments
+        advanceBlock()
+      }
+      while (pi < decoded.length && decoded(pi)._1 < target) pi += 1
+      if (pi >= decoded.length) { advanceBlock(); seek(target) }
+      else curDoc = decoded(pi)._1
+    }
+
+    def next(): Unit = {
+      if (exhausted) return
+      pi += 1
+      if (pi >= decoded.length) advanceBlock()
+      else curDoc = decoded(pi)._1
+    }
+
+    def close(): Unit = releaseBlock()
+  }
+
+  /** All phrase matches in one (source, bucket) group via cursor
+    * intersection: the rarest distinct term leads, the rest gallop to it.
+    */
   private[query] def matchesInBucket(
       termBlocks: Seq[(String, Array[PosBlock])],
       phraseTerms: Seq[String]): Iterator[PhraseMatch] = {
     val byTerm = termBlocks.toMap
-    if (phraseTerms.exists(t => !byTerm.contains(t))) return Iterator.empty
-    // decode per-term: docId -> (dl, positions)
-    val decoded: Seq[Map[Long, (Int, Array[Int])]] = phraseTerms.map { t =>
-      byTerm(t).flatMap(Positional.decodeBlock)
-        .map(d => d._1 -> ((d._2, d._3))).toMap
+    val distinctTerms = phraseTerms.distinct
+    if (distinctTerms.exists(t => !byTerm.contains(t))) return Iterator.empty
+    val cursors = distinctTerms.map(t => t -> new PosCursor(byTerm(t))).toMap
+    val slotCursors = phraseTerms.map(cursors).toArray
+    val lead = cursors.values.minBy(_.totalPostings)
+    val others = cursors.values.filter(_ ne lead).toArray
+    val out = Vector.newBuilder[PhraseMatch]
+    while (!lead.exhausted) {
+      val d = lead.curDoc
+      var ok = true
+      var i = 0
+      while (ok && i < others.length) {
+        others(i).seek(d)
+        ok = !others(i).exhausted && others(i).curDoc == d
+        i += 1
+      }
+      if (ok) {
+        val tf = phraseCount(slotCursors.map(_.positions))
+        if (tf > 0) out += PhraseMatch(d, lead.dl, tf)
+        lead.next()
+      } else if (i <= others.length && others(i - 1).exhausted) {
+        // a term ran out: no further doc can match
+        while (!lead.exhausted) lead.seek(Long.MaxValue)
+      } else {
+        // gallop the lead to the blocker's position
+        lead.seek(others(i - 1).curDoc)
+      }
     }
-    // candidates = docs containing the rarest term, probed against the rest
-    val seed = decoded.minBy(_.size)
-    seed.keysIterator.flatMap { docId =>
-      if (decoded.forall(_.contains(docId))) {
-        val posArrays = decoded.map(_(docId)._2).toArray
-        // positions must be aligned to phrase offsets: shift handled in
-        // phraseCount via p+i lookups
-        val tf = phraseCount(posArrays)
-        if (tf > 0) {
-          val dl = seed(docId)._1
-          Some(PhraseMatch(docId, dl, tf))
-        } else None
-      } else None
-    }
+    cursors.values.foreach(_.close())
+    out.result().iterator
   }
 
-  /** Exact phrase top-k against a positional index parquet dir.
-    *
-    * Fully distributed — a frequent phrase ("of the") may match an
-    * unbounded share of the corpus, so matches are never collected:
-    * pass 1 counts them (df for the phrase-as-term idf), pass 2 runs a
-    * bounded top-k heap per docId bucket over the persisted match set,
-    * and only numBuckets·k candidates reach the driver for the final
-    * (score desc, docId asc) head.
+  /** One positional source: its blocks dir + the batch stamp its content
+    * is authoritative as of.
+    */
+  case class PosSource(stamp: String, dir: String)
+
+  /** The maintained posindex's sources: the base (stamped with the index
+    * version it was built from) + one delta per sync batch since.
+    */
+  def sources(spark: SparkSession, io: TableIO, posRoot: String): Seq[PosSource] = {
+    val base = s"$posRoot/base"
+    if (!io.exists(base))
+      throw new IllegalStateException(
+        s"no positional index at $posRoot — run index-pos first")
+    val stamp = Positional.builtFrom(spark, base).getOrElse(
+      throw new IllegalStateException(
+        s"positional base at $base carries no version stamp — rebuild it"))
+    val deltaRoot = s"$posRoot/delta"
+    val deltas =
+      if (!io.exists(deltaRoot)) Seq.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(deltaRoot)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+          .sorted.map(b => PosSource(b, s"$deltaRoot/$b"))
+      }
+    PosSource(stamp, base) +: deltas
+  }
+
+  private val posBlockSchema =
+    org.apache.spark.sql.Encoders.product[PosBlock].schema
+
+  private def readSources(spark: SparkSession,
+                          srcs: Seq[PosSource],
+                          terms: Seq[String]): DataFrame =
+    srcs.map { s =>
+      spark.read.schema(posBlockSchema).parquet(s.dir)
+        .filter(col("term").isin(terms.distinct: _*))
+        .withColumn("stamp", lit(s.stamp))
+    }.reduce(_.unionByName(_))
+
+  /** Exact phrase top-k over the MAINTAINED posindex with LSM liveness:
+    * matches verified against the reader's live docs (purged docs drop,
+    * updated docs answer from their newest source only). Fully
+    * distributed — matches are never collected: pass 1 counts live
+    * matches (phrase df), pass 2 runs a bounded per-bucket top-k heap,
+    * and only numBuckets·k candidates reach the driver.
+    */
+  def topKLive(spark: SparkSession, io: TableIO, posRoot: String,
+               phrase: String, k: Int, reader: IndexReader): Array[Hit] = {
+    import spark.implicits._
+    val terms = graft.analysis.Tokenizer.tokenize(phrase).toSeq
+    if (terms.isEmpty || k <= 0) return Array.empty
+    val srcs = sources(spark, io, posRoot)
+    // structural coverage: every live batch must be answerable — by the
+    // base (batch ≤ base stamp) or by its own delta. A gap (e.g. a sync
+    // that ran while no posindex existed) errors crisply instead of
+    // silently missing documents. One tiny distinct scan: #batches ≈
+    // #segments.
+    val baseStamp = srcs.head.stamp
+    val stamps = srcs.map(_.stamp).toSet
+    val uncovered = reader.docs.select("batch_id").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      .filter(b => b > baseStamp && !stamps.contains(b))
+    if (uncovered.nonEmpty)
+      throw new IllegalStateException(
+        s"posindex at $posRoot does not cover live batches " +
+          s"${uncovered.sorted.mkString(", ")} — re-run index-pos")
+    val matches = rawMatches(spark, readSources(spark, srcs, terms), terms)
+      .toDF("docId", "dl", "tf", "stamp")
+      .join(reader.docs.select($"docId", $"batch_id"), Seq("docId"))
+      .filter($"batch_id" <= $"stamp")
+      .select($"docId", $"dl", $"tf")
+      .as[(Long, Int, Int)]
+    scoreMatches(matches, k, reader.stats.n, reader.stats.avgdl)
+  }
+
+  /** Phrase matches of every source, tagged (docId, dl, tf, stamp). */
+  private def rawMatches(spark: SparkSession, blocks: DataFrame,
+                         terms: Seq[String]): Dataset[(Long, Int, Int, String)] = {
+    import spark.implicits._
+    blocks.as[StampedPosBlock]
+      .groupByKey(b => (b.stamp, b.bucket))
+      .flatMapGroups { (key, bs) =>
+        val byTerm = bs.map(_.block).toArray.groupBy(_.term).toSeq
+        matchesInBucket(byTerm, terms)
+          .map(m => (m.docId, m.dl, m.phraseTf, key._1))
+      }
+  }
+
+  /** PosBlock + its source stamp (public: Spark codegen instantiates it). */
+  case class StampedPosBlock(
+      term: String, bucket: Int, blockId: Int, firstDocId: Long, count: Int,
+      docIdsVB: Array[Byte], tfsVB: Array[Byte], dlsVB: Array[Byte],
+      posVB: Array[Byte], stamp: String) {
+    def block: PosBlock = PosBlock(term, bucket, blockId, firstDocId, count,
+      docIdsVB, tfsVB, dlsVB, posVB)
+  }
+
+  /** df count + bounded per-bucket heaps + driver head — shared tail. */
+  private def scoreMatches(matches: Dataset[(Long, Int, Int)], k: Int,
+                           n: Long, avgdl: Double): Array[Hit] = {
+    import matches.sparkSession.implicits._
+    val m = matches.persist()
+    try {
+      val df = m.count() // distributed — the phrase's global df
+      if (df == 0) return Array.empty
+      val idf = Bm25.idf(n, df)
+      m.groupByKey(t => graft.index.DocIds.bucket(t._1))
+        .flatMapGroups { (_, ms) =>
+          val topk = new Wand.TopK(k)
+          // ascending docId feed keeps the deterministic tie discipline
+          ms.toArray.sortBy(_._1).foreach { case (docId, dl, tf) =>
+            topk.insert(docId, Bm25.termScore(idf, tf, dl, avgdl))
+          }
+          topk.result().iterator
+        }
+        .collect()
+        .sortBy(h => (-h.score, h.docId))
+        .take(k)
+    } finally m.unpersist()
+  }
+
+  /** Exact phrase top-k against a SINGLE flat positional dir with no
+    * liveness context (standalone corpora and tests; the maintained path
+    * is [[topKLive]]).
     */
   def topK(spark: SparkSession, posIndexDir: String, phrase: String, k: Int,
            n: Long, avgdl: Double): Array[Hit] = {
     import spark.implicits._
     val terms = graft.analysis.Tokenizer.tokenize(phrase).toSeq
     if (terms.isEmpty || k <= 0) return Array.empty
-    val blocks = spark.read.parquet(posIndexDir).as[PosBlock]
-      .filter($"term".isin(terms.distinct: _*))
-    val matches = blocks
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, bs) =>
-        val byTerm = bs.toArray.groupBy(_.term).toSeq
-        matchesInBucket(byTerm, terms)
-      }
-      .persist()
-    try {
-      val df = matches.count() // distributed — the phrase's global df
-      if (df == 0) return Array.empty
-      val idf = Bm25.idf(n, df)
-      val candidates = matches
-        .groupByKey(m => graft.index.DocIds.bucket(m.docId))
-        .flatMapGroups { (_, ms) =>
-          val topk = new Wand.TopK(k)
-          // ascending docId feed keeps the deterministic tie discipline
-          ms.toArray.sortBy(_.docId).foreach(m =>
-            topk.insert(m.docId, Bm25.termScore(idf, m.phraseTf, m.dl, avgdl)))
-          topk.result().iterator
-        }
-        .collect()
-      candidates
-        .sortBy(h => (-h.score, h.docId))
-        .take(k)
-    } finally matches.unpersist()
+    val blocks = spark.read.schema(posBlockSchema).parquet(posIndexDir)
+      .filter(col("term").isin(terms.distinct: _*))
+      .withColumn("stamp", lit(""))
+    val matches = rawMatches(spark, blocks, terms)
+      .map(t => (t._1, t._2, t._3))
+    scoreMatches(matches, k, n, avgdl)
   }
 }

@@ -70,6 +70,7 @@ object ReconcileJob {
       // reconcile deltas are usually small (the drift set) — adaptive width
       Tables.writeFwdAdaptive(spark, SegmentBuilder.analyze(toIndex).toDF(),
         analyzedDir)
+      SyncJob.stagePosDelta(spark, io, batchId, toIndex)
       cp.markDone(batchId, Process, resource, "analyze")
     }
 

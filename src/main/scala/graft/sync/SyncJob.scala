@@ -117,6 +117,7 @@ object SyncJob {
             Tables.writeFwdAdaptive(spark, analyzedDf, analyzedDir)
         }
       }
+      stagePosDelta(spark, io, batchId, delta)
       cp.markDone(batchId, Process, resource, "analyze")
     }
 
@@ -238,10 +239,11 @@ object SyncJob {
               maxes.map { case (c, t) => s"$c=${t.getTime}" }.mkString("\n"))
         }
         val pageCols = Seq("url", "warc_ts", "html", "text", "lang")
-        val analyzedDf = SegmentBuilder.analyze(
-          delta.select(pageCols.map(col): _*).as[PageRow]).toDF()
+        val deltaPages = delta.select(pageCols.map(col): _*).as[PageRow]
+        val analyzedDf = SegmentBuilder.analyze(deltaPages).toDF()
         if (primary == Epoch0) Tables.writeFwd(analyzedDf, analyzedDir)
         else Tables.writeFwdAdaptive(spark, analyzedDf, analyzedDir)
+        stagePosDelta(spark, io, batchId, deltaPages)
         cp.markDone(batchId, Process, resource, "analyze")
       }
       val r = runFromAnalyzed(spark, io, cp, batchId, Process, resource, t0)
@@ -251,6 +253,21 @@ object SyncJob {
       r
     } finally release()
   }
+
+  /** While a maintained posindex exists (root/posindex/base, built by
+    * index-pos), every sync delta also stages its positional blocks; the
+    * merge stage adopts them as posindex/delta/<batchId>. Purges and
+    * compactions need NO posindex writes — phrase liveness verifies
+    * matches against the live docs table (Phrase.topKLive).
+    */
+  private[sync] def stagePosDelta(spark: SparkSession, io: TableIO,
+                                  batchId: String,
+                                  delta: Dataset[PageRow]): Unit =
+    if (io.exists(s"${io.root}/posindex/base"))
+      timed(batchId, "analyze.posDelta") {
+        graft.index.Positional.writeBlocks(
+          delta, io.stagingDir(batchId, "pos"))
+      }
 
   /** Shared tail (segment → merge → publish) — reconcile's "missing"
     * processing reuses it verbatim, like the reference routes missing
@@ -300,6 +317,12 @@ object SyncJob {
 
     // ---- merge -------------------------------------------------------
     if (!cp.isDone(batchId, process, resource, "merge")) timed(batchId, "merge") {
+      // adopt the staged positional delta, if the analyze stage wrote one
+      // (maintained posindex; moveDir is idempotent for resumed batches)
+      val stagedPos = io.stagingDir(batchId, "pos")
+      if (io.exists(stagedPos) ||
+          io.exists(s"${io.root}/posindex/delta/$batchId"))
+        io.moveDir(stagedPos, s"${io.root}/posindex/delta/$batchId")
       val old = Tables.loadCurrent(spark, io)
       val staged = Some((docsDir, blocksDir, analyzedDir))
       val purgedDs = purged.getOrElse(spark.emptyDataset[Long])

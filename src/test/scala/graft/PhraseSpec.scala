@@ -1,26 +1,34 @@
 package graft
 
+import java.sql.Timestamp
 import graft.corpus.Corpus
 import graft.index.{DocIds, Positional}
-import graft.query.{Bm25, Phrase}
+import graft.query.{Bm25, IndexReader, Phrase}
+import graft.sources.TableIO
+import graft.sync.{PurgeJob, SyncJob}
 
-/** Positional index + phrase query vs a naive in-memory phrase oracle. */
+/** Positional index + phrase query vs a naive in-memory phrase oracle:
+  * the flat single-dir path, the streaming-cursor memory bound, and the
+  * maintained (base + delta, docs-join liveness) LSM path under churn.
+  */
 class PhraseSpec extends SparkTestBase {
+  import spark.implicits._
 
   val N = 600
   lazy val posDir: String = {
     val d = tmpDir("graft-posidx") + "/pos"
-    Positional.build(spark, Corpus.pages(spark, N, 4), d)
+    Positional.writeBlocks(Corpus.pages(spark, N, 4), d)
     d
   }
 
-  /** Naive oracle: scan every doc's token array for the phrase. */
-  private def oraclePhrase(phrase: String, k: Int): Seq[Hit] = {
+  /** Naive oracle over an explicit live-row set. */
+  private def oraclePhraseOver(rows: Seq[PageRow], phrase: String,
+                               k: Int): Seq[Hit] = {
     val terms = graft.analysis.Tokenizer.tokenize(phrase).toSeq
-    val docs = Corpus.localRows(N).map { p =>
+    val docs = rows.map { p =>
       (DocIds.docId(p.url), graft.analysis.Tokenizer.tokenize(p.text))
     }
-    val n = N.toLong
+    val n = rows.size.toLong
     val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
     val matches = docs.flatMap { case (docId, toks) =>
       var tf = 0
@@ -40,6 +48,9 @@ class PhraseSpec extends SparkTestBase {
       .sortBy(h => (-h.score, h.docId))
       .take(k)
   }
+
+  private def oraclePhrase(phrase: String, k: Int): Seq[Hit] =
+    oraclePhraseOver(Corpus.localRows(N), phrase, k)
 
   private def engine(phrase: String, k: Int): Seq[Hit] = {
     val docs = Corpus.localRows(N)
@@ -98,5 +109,120 @@ class PhraseSpec extends SparkTestBase {
       assert(gotByTerm(t) == ps, s"positions mismatch for term $t")
     }
     assert(got.nonEmpty)
+  }
+
+  test("stopword phrase: cursors keep decoded positions O(terms × block)") {
+    // two buckets (bucketBits=1, the floor) concentrate the postings: the
+    // r3 code would decode BOTH stopword terms' full position lists
+    // (~hundreds of thousands of positions) into per-term maps in one
+    // task; the cursor intersection must keep only a couple of 128-doc
+    // blocks resident
+    val prev = sys.props.get("graft.docid.bucketBits")
+    sys.props("graft.docid.bucketBits") = "1"
+    DocIds.refreshBucketBits()
+    try {
+      val big = 12000
+      val dir = tmpDir("graft-posbig") + "/pos"
+      Positional.writeBlocks(Corpus.pages(spark, big, 8), dir)
+      val rows = Corpus.localRows(big)
+      val n = big.toLong
+      val avgdl = rows.map(p =>
+        graft.analysis.Tokenizer.tokenize(p.text).length.toLong).sum.toDouble / n
+      // total positions of the two stopwords (the memory the old code held)
+      val totalPositions = rows.iterator.map(p =>
+        graft.analysis.Tokenizer.tokenize(p.text)
+          .count(t => t == "the" || t == "of").toLong).sum
+      assert(totalPositions > 200000L, s"corpus too small: $totalPositions")
+      Phrase.resetResidentTracking()
+      val got = Phrase.topK(spark, dir, "of the", 10, n, avgdl).toSeq
+        .map(h => (h.docId, h.score))
+      val want = oraclePhraseOver(rows, "of the", 10).map(h => (h.docId, h.score))
+      assert(got == want, "stopword phrase diverged")
+      val resident = Phrase.maxResidentPositions.get()
+      assert(resident > 0)
+      assert(resident < totalPositions / 20,
+        s"cursors held $resident positions resident of $totalPositions " +
+          "total — not streaming")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.docid.bucketBits") = v
+        case None => sys.props.remove("graft.docid.bucketBits")
+      }
+      DocIds.refreshBucketBits()
+    }
+  }
+
+  test("maintained posindex: purge + sync answered live, gaps refuse") {
+    val root = tmpDir("graft-poslsm")
+    val io = new TableIO(spark, root)
+    val M = 500
+    val rows = Corpus.localRows(M)
+    def urlIdx(p: PageRow): Int = p.url.split("/").last.toInt
+    def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(M))
+
+    // base built from the live snapshot, stamped with the current version
+    Positional.build(spark, spark.createDataset(rows), s"$root/posindex",
+      io.currentVersion())
+
+    def phrase(q: String, live: Seq[PageRow]): Unit = {
+      val reader = new IndexReader(spark, root)
+      val got = Phrase.topKLive(spark, io, s"$root/posindex", q, 10, reader)
+        .toSeq.map(h => (h.docId, h.score))
+      val want = oraclePhraseOver(live, q, 10).map(h => (h.docId, h.score))
+      assert(got == want, s"phrase [$q] diverged (live=${live.size})")
+    }
+    phrase("document 7", rows)
+
+    // purge docs >= 450: NO index-pos rerun — the docs-join liveness must
+    // exclude them (both from results and from the phrase df)
+    val kept = rows.filter(urlIdx(_) < 450)
+    PurgeJob.run(spark, io, spark.createDataset(kept), ts(M + 1))
+    phrase("the the", kept)
+    phrase("document 455", kept) // purged doc's title: must be gone
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 455", 10,
+      new IndexReader(spark, root)).isEmpty)
+
+    // sync an update (doc 7 rewritten) + 10 new docs: the delta's pos
+    // blocks ride along automatically; old doc-7 positions are stale and
+    // must not answer
+    val updated = kept.map { p =>
+      if (urlIdx(p) == 7)
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(7L + 20L * M)),
+          html = Corpus.html(9999L), text = Corpus.text(9999L))
+      else p
+    }
+    val added = Corpus.localRows(M + 10).drop(M).zipWithIndex.map {
+      case (p, j) =>
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(21L * M + j)))
+    }
+    SyncJob.run(spark, io, spark.createDataset(updated ++ added), ts(22L * M))
+    val live2 = updated ++ added
+    // doc 7's OLD title phrase must be dead; its NEW text must answer;
+    // the added docs' titles must answer
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 7", 10,
+      new IndexReader(spark, root)).isEmpty)
+    phrase("document 9999", live2)
+    phrase(s"document ${M + 5}", live2)
+    phrase("the the", live2)
+
+    // coverage gap: a batch synced with the posindex base REMOVED has no
+    // delta — phrase must refuse crisply, not silently miss docs
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/posindex/base"),
+      new org.apache.hadoop.fs.Path(s"$root/posindex/base.hidden"))
+    val more = live2 ++ Corpus.localRows(M + 12).drop(M + 10).zipWithIndex
+      .map { case (p, j) =>
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(23L * M + j)))
+      }
+    SyncJob.run(spark, io, spark.createDataset(more), ts(24L * M))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/posindex/base.hidden"),
+      new org.apache.hadoop.fs.Path(s"$root/posindex/base"))
+    val e = intercept[IllegalStateException] {
+      Phrase.topKLive(spark, io, s"$root/posindex", "document 7", 10,
+        new IndexReader(spark, root))
+    }
+    assert(e.getMessage.contains("does not cover"), e.getMessage)
   }
 }
