@@ -39,8 +39,11 @@ import graft.sync.SyncJob
 object Bench {
 
   case class ScaleRun(cpus: Int, sec: Double, probe1: Double, probe2: Double,
-                      incSec: Option[Double] = None) {
+                      incSec: Option[Double] = None,
+                      bw1: Double = 0.0, bw2: Double = 0.0) {
     def worstProbe: Double = math.max(probe1, probe2)
+    /** Slower of the two bandwidth probes (GB/s) — a wave shows as a dip. */
+    def minBw: Double = math.min(bw1, bw2)
   }
 
   private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
@@ -86,14 +89,16 @@ object Bench {
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
     val re = ("GRAFT_SCALE cpus=\\d+ sec=([0-9.]+)(?: inc=([0-9.]+))? " +
-      "probe1=([0-9.]+) probe2=([0-9.]+)").r
+      "probe1=([0-9.]+) probe2=([0-9.]+) bw1=([0-9.]+) bw2=([0-9.]+)").r
     re.findFirstMatchIn(out)
       .map { m =>
         val r = ScaleRun(cpus, m.group(1).toDouble, m.group(3).toDouble,
-          m.group(4).toDouble, Option(m.group(2)).map(_.toDouble))
+          m.group(4).toDouble, Option(m.group(2)).map(_.toDouble),
+          m.group(5).toDouble, m.group(6).toDouble)
         System.err.println(f"[bench] scale local[$cpus]: ${r.sec}%.2fs " +
           r.incSec.map(i => f"inc ${i}%.2fs ").getOrElse("") +
-          f"(probes ${r.probe1}%.2f/${r.probe2}%.2f)")
+          f"(probes ${r.probe1}%.2f/${r.probe2}%.2f, " +
+          f"bw ${r.bw1}%.0f/${r.bw2}%.0f GB/s)")
         r
       }
       .orElse {
@@ -140,15 +145,20 @@ object Bench {
       if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
       f.delete()
     }
-    val rootA = s"$tmpBase/graft-bench-primary-a"
-    val rootB = s"$tmpBase/graft-bench-primary-b"
+    // pid-suffixed roots: concurrent bench runs must not collide
+    val pid = ProcessHandle.current().pid()
+    val rootA = s"$tmpBase/graft-bench-primary-$pid-a"
+    val rootB = s"$tmpBase/graft-bench-primary-$pid-b"
     Seq(rootA, rootB).foreach(rmrf)
     val primA = scaleRun(cpus, benchDocs, cpus * 2, keepRoot = Some(rootA))
     val primB = scaleRun(cpus, benchDocs, cpus * 2, keepRoot = Some(rootB))
     val primary = (primA.toSeq ++ primB.toSeq).map(_.sec)
     require(primary.nonEmpty, "both primary build forks failed")
     val build32 = primary.min
-    rmrf(rootA)
+    // latency measures against whichever fork actually published an index
+    // (prefer B — it carries the incremental delta segment)
+    val latencyRoot = if (primB.isDefined) rootB else rootA
+    if (primB.isDefined) rmrf(rootA)
 
     // the +1% incremental sync (the replication steady state, O(delta)
     // writes) was timed INSIDE the warm forked JVMs right after their
@@ -158,10 +168,10 @@ object Bench {
       .minOption.getOrElse(0.0)
 
     // ---- BM25 latency on a fresh resident session ----------------------
-    // rootB already carries the incremental delta segment (applied by
-    // its fork), so latency sees the multi-segment read path
+    // the kept root already carries the incremental delta segment
+    // (applied by its fork), so latency sees the multi-segment read path
     spark = session(cpus)
-    val reader = new IndexReader(spark, rootB)
+    val reader = new IndexReader(spark, latencyRoot)
     // two warm passes: the first JITs the decode/WAND path, the second
     // settles it — then measure
     (1 to 2).foreach(_ => QuerySet.all.foreach { case (_, q) => reader.topK(q, 10) })
@@ -175,7 +185,7 @@ object Bench {
     // resident Spark JVM measurably slows the forked builds (~10-15% on
     // the 4-core level) and nothing below needs it — the forks must see
     // the same quiet machine at both parallelism levels
-    rmrf(rootB)
+    Seq(rootA, rootB).foreach(rmrf)
     spark.stop()
 
     // ---- 3. scaling: same input at N vs 4N cores -----------------------
@@ -241,13 +251,33 @@ object Bench {
     // sample when the window is quiet; one pair bounds the extra wall
     // time while still logging the steal probes for the record
     var runs28 = Vector.empty[ScaleRun]
+    def eff28Now(): Double = {
+      val s2 = runs28.filter(_.cpus == 2).map(_.sec).minOption.getOrElse(0.0)
+      val s8 = runs28.filter(_.cpus == 8).map(_.sec).minOption.getOrElse(0.0)
+      if (s8 > 0) (s2 / s8) / 4.0 else 0.0
+    }
     if (!skipScaling && !sys.env.get("SPARK_GRAFT_SKIP_28").contains("1")) {
       runs28 ++= scaleRun(2, scaleDocs, 64)
       runs28 ++= scaleRun(8, scaleDocs, 64)
+      // a low sample is now ATTRIBUTABLE: the per-fork bandwidth probe
+      // measures neighbor memory-bandwidth waves the CPU probe cannot
+      // see. Retry one interleaved pair when low — a wave passes; a
+      // persistent deficit with steady bandwidth is a real finding.
+      if (eff28Now() < 0.8) {
+        System.err.println(f"[bench] 2->8 sample ${eff28Now()}%.3f low — one retry pair")
+        runs28 ++= scaleRun(2, scaleDocs, 64)
+        runs28 ++= scaleRun(8, scaleDocs, 64)
+      }
     }
     val sec2 = runs28.filter(_.cpus == 2).map(_.sec).minOption.getOrElse(0.0)
     val sec8 = runs28.filter(_.cpus == 8).map(_.sec).minOption.getOrElse(0.0)
-    val eff28 = if (sec8 > 0) (sec2 / sec8) / 4.0 else 0.0
+    val eff28 = eff28Now()
+    // wave evidence: bandwidth floor of the 8-core runs vs the session's
+    // best observation (all forks, both probes)
+    val allBw = (runs ++ runs28).flatMap(r => Seq(r.bw1, r.bw2)).filter(_ > 0)
+    val bwBest = allBw.maxOption.getOrElse(0.0)
+    val bw8Min = runs28.filter(_.cpus == 8).map(_.minBw)
+      .filter(_ > 0).minOption.getOrElse(0.0)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -270,7 +300,15 @@ object Bench {
         f"""},"corroboration_2_8":{"build_sec_2":$sec2%.2f,""" +
         f""""build_sec_8":$sec8%.2f,"efficiency_2_8":$eff28%.3f,""" +
         """"probes":[""" + runs28.map(r =>
-          f"${r.probe1}%.2f,${r.probe2}%.2f").mkString(",") + "]}},"
+          f"${r.probe1}%.2f,${r.probe2}%.2f").mkString(",") + "]," +
+        """"bw_gbs":[""" + runs28.map(r =>
+          f"${r.bw1}%.1f,${r.bw2}%.1f").mkString(",") + "]," +
+        f""""bw_best_gbs":$bwBest%.1f,"bw8_min_gbs":$bw8Min%.1f}},""" +
+        s""""scale_bw_gbs":{""" +
+        Seq(pairLo, pairHi).map { c =>
+          "\"local" + c + "\":[" + runs.filter(_.cpus == c)
+            .map(r => f"${r.bw1}%.1f,${r.bw2}%.1f").mkString(",") + "]"
+        }.mkString(",") + "},"
       else "}},") +
       f""""bm25_p50_sec":$p50%.3f,"bm25_p95_sec":$p95%.3f"""
     println(
@@ -343,12 +381,18 @@ object Bench {
       md.append("### Corroboration: one opportunistic 2 -> 8 pair\n\n")
       md.append(f"local[2] ${s2.map(s => f"$s%.1f").mkString(", ")} s; ")
       md.append(f"local[8] ${s8.map(s => f"$s%.1f").mkString(", ")} s -> ")
-      md.append(f"efficiency (T_2/T_8)/4 = $eff28%.3f. Probes: ")
+      md.append(f"efficiency (T_2/T_8)/4 = $eff28%.3f. CPU probes: ")
       md.append(runs28.map(r => f"${r.probe1}%.2f/${r.probe2}%.2f").mkString(", "))
+      md.append("; bandwidth probes (GB/s, multi-threaded STREAM triad ")
+      md.append("over a 384 MB working set — measures the neighbor ")
+      md.append("memory-bandwidth waves the single-thread CPU probe ")
+      md.append("cannot see): ")
+      md.append(runs28.map(r => f"${r.bw1}%.0f/${r.bw2}%.0f").mkString(", "))
       md.append(". The 2->8 pair is wave-vulnerable (see above); this ")
-      md.append("sample corroborates the 1->4 headline when quiet, and a ")
-      md.append("low value with clean probes indicates a bandwidth wave, ")
-      md.append("not a scaling defect.\n\n")
+      md.append("sample corroborates the 1->4 headline when quiet. A low ")
+      md.append("sample whose bandwidth probes dip well below the ")
+      md.append("session's best shows a measured wave; a low sample with ")
+      md.append("steady bandwidth would be a real scaling finding.\n\n")
     }
     md.append("## Driver query wall times (sf dir, all SparkEntry queries)\n\n")
     md.append(f"Total: $total%.2f s\n\n| query | sec |\n|---|---|\n")

@@ -396,6 +396,12 @@ object SparkEntry {
     * q_dedup_jaccard share one pipeline run — the verifier must not pay
     * the shingle→signature→band cost twice (the cached frame is tiny:
     * the candidate PAIRS, not the bands).
+    *
+    * Staleness contract: entries are keyed by directory PATH and never
+    * invalidated — correct for this one-shot driver/bench contract (each
+    * run reads immutable testdata once). A long-lived session re-querying
+    * a dir after its data changed would see stale candidates; such a
+    * caller must clear via [[clearQueryCaches]].
     */
   private val minhashCandCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -412,6 +418,16 @@ object SparkEntry {
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashCandidates(s, dir).orderBy(col("d1"), col("d2"))
+
+  /** Unpersist + drop every per-(session, dir) query cache — for
+    * long-lived sessions whose input dirs may change between queries.
+    */
+  def clearQueryCaches(): Unit = {
+    minhashCandCache.values.forEach(df => { df.unpersist(); () })
+    minhashCandCache.clear()
+    simhashCache.values.forEach(df => { df.unpersist(); () })
+    simhashCache.clear()
+  }
 
   /** 64-bit SimHash (md5-bit hyperplanes, tf-weighted ±1 votes per
     * occurrence), reported as two 32-bit halves in bigint columns

@@ -61,4 +61,64 @@ object StatsQueries {
         $"error")
       .orderBy($"process", $"batch_id".desc)
   }
+
+  /** The reference dashboard's NESTED last-batches graph
+    * (server/index.js:218-267 `withGraphFetched`: each recent batch row
+    * carries its per-resource rows, each with per-destination detail) —
+    * here one row per (process, batch) of the newest k per process, with
+    * a `resources` array of per-resource driver rows, each carrying its
+    * `partitions` array of per-shuffle-partition lineage (rows/bytes/
+    * terms/postings straight off the metrics ledger).
+    *
+    * A multi-resource root (SyncJob.runBatch) keeps one ledger per
+    * resource sub-root; a plain root is a single resource named by its
+    * sync jobs ("pages").
+    */
+  def lastBatchesNested(spark: SparkSession, io: TableIO,
+                        k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val resourcesDir = s"${io.root}/resources"
+    val ledgers: Seq[(String, String)] =
+      if (io.exists(resourcesDir)) {
+        val p = new org.apache.hadoop.fs.Path(resourcesDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).sorted
+          .map(r => r -> s"$resourcesDir/$r/metrics")
+      } else Seq("pages" -> io.metricsDir)
+    val present = ledgers.filter(l => io.exists(l._2))
+    if (present.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("process", lit("")).limit(0)
+    val all = present.map { case (res, dir) =>
+      io.readParquet(dir).withColumn("resource", lit(res))
+    }.reduce(_.unionByName(_))
+
+    val parts = all.filter($"partitionId" >= 0)
+      .groupBy($"process", $"batch_id", $"resource")
+      .agg(sort_array(collect_list(struct($"partitionId", $"rows",
+        $"bytes", $"terms", $"postings"))).as("partitions"))
+    val emptyParts = array().cast(parts.schema("partitions").dataType)
+    val perResource = all.filter($"partitionId" === -1)
+      .select($"process", $"batch_id", $"resource", $"rows", $"millis",
+        $"result", $"error")
+      .join(parts, Seq("process", "batch_id", "resource"), "left_outer")
+      .withColumn("partitions", coalesce($"partitions", emptyParts))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"process").orderBy($"batch_id".desc)
+    perResource
+      .groupBy($"process", $"batch_id")
+      .agg(
+        sum($"rows").as("rows"),
+        max($"millis").as("millis"),
+        when(array_contains(collect_set($"result"), "error"), "error")
+          .otherwise(max($"result")).as("result"),
+        sort_array(collect_list(struct($"resource", $"rows", $"millis",
+          $"result", $"error", $"partitions"))).as("resources"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .drop("rn")
+      .orderBy($"process", $"batch_id".desc)
+  }
 }

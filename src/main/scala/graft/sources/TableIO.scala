@@ -241,8 +241,21 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
       }
     try out.write(token.getBytes("UTF-8"))
     finally out.close()
-    () => if (readSmallFile(s"$root/lock").contains(token))
-      fs.delete(lock, false)
+    // ownership-checked release via the same atomic-rename trick as the
+    // stale-break: claim the lock file by renaming it to a unique tomb,
+    // THEN inspect the (now-private) tomb. A read-then-delete pair had a
+    // TOCTOU window where a waiter could stale-break + re-create between
+    // our read and delete, losing the waiter's fresh lock. If the tomb
+    // turns out not to be ours (we were stale-broken), rename it back.
+    () => {
+      val tomb = new Path(s"$root/lock.release.${java.util.UUID.randomUUID()}")
+      val claimed =
+        try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+      if (claimed) {
+        if (readSmallFile(tomb.toString).contains(token)) fs.delete(tomb, false)
+        else fs.rename(tomb, lock) // another holder's fresh lock: restore
+      }
+    }
   }
 
   def writeSmallFile(path: String, content: String): Unit = {

@@ -69,6 +69,17 @@ object StreamingSync {
     */
   val DefaultStateTtlMs: Long = 30L * 24 * 3600 * 1000
 
+  /** Default allowed lateness for [[dedupOnIngest]]'s event-time
+    * watermark: crawl pages arrive out of warc_ts order across fetcher
+    * shards, and a watermarked stateful operator DROPS input older than
+    * the watermark before the dedup function ever sees it — a 0-second
+    * watermark would silently lose any cross-micro-batch out-of-order
+    * page (not merely skip deduping it). Seven days covers typical crawl
+    * reordering; pages later than this ARE dropped from ingest — size it
+    * to the feed's real disorder.
+    */
+  val DefaultAllowedLateness = "7 days"
+
   /** Streaming crawl dedup-on-ingest — custom keyed state via
     * flatMapGroupsWithState (SURVEY §2.10 stateful analog): per url,
     * emit a page downstream only when it is NEW or its content CHANGED
@@ -81,14 +92,19 @@ object StreamingSync {
     * (not processing-time) timeouts: they advance with the data, replay
     * deterministically, and terminate cleanly under AvailableNow
     * (processing-time timeouts re-arm on every micro-batch and keep the
-    * trigger loop alive indefinitely).
+    * trigger loop alive indefinitely). The watermark lags by
+    * `allowedLateness` so out-of-order pages within that horizon are
+    * processed, not dropped (StreamingMediaSpec pins this); rows later
+    * than the horizon are dropped by Spark before the function runs.
     */
   def dedupOnIngest(pages: Dataset[PageRow],
-                    stateTtlMs: Long = DefaultStateTtlMs): Dataset[PageRow] = {
+                    stateTtlMs: Long = DefaultStateTtlMs,
+                    allowedLateness: String = DefaultAllowedLateness)
+      : Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     pages
-      .withWatermark("warc_ts", "0 seconds")
+      .withWatermark("warc_ts", allowedLateness)
       .groupByKey(_.url)
       .flatMapGroupsWithState[UrlState, PageRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -124,13 +140,14 @@ object StreamingSync {
     */
   def dedupOnIngestOnce(spark: SparkSession, pagesDir: String,
                         streamCheckpoint: String, outDir: String,
-                        stateTtlMs: Long = DefaultStateTtlMs): Unit = {
+                        stateTtlMs: Long = DefaultStateTtlMs,
+                        allowedLateness: String = DefaultAllowedLateness): Unit = {
     import spark.implicits._
     val pages = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[PageRow].schema)
       .parquet(pagesDir)
       .as[PageRow]
-    val q = dedupOnIngest(pages, stateTtlMs).writeStream
+    val q = dedupOnIngest(pages, stateTtlMs, allowedLateness).writeStream
       .outputMode("append")
       .option("checkpointLocation", streamCheckpoint)
       .trigger(Trigger.AvailableNow())

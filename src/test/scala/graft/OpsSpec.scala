@@ -256,6 +256,42 @@ class OpsSpec extends SparkTestBase {
     assert(purgeRows.head.getAs[Long]("rows") == 32)
   }
 
+  test("nested last-batches rollup: per-resource + per-partition children") {
+    val root = tmpDir("graft-nestedfeed")
+    val io = new TableIO(spark, root)
+    SyncJob.runBatch(spark, io,
+      Seq("listings" -> Corpus.pages(spark, 120, 2),
+        "media" -> Corpus.pages(spark, 80, 2)), ts(200))
+    SyncJob.runBatch(spark, io,
+      Seq("listings" -> Corpus.pages(spark, 140, 2),
+        "media" -> Corpus.pages(spark, 80, 2)), ts(240))
+
+    val feed = graft.query.StatsQueries.lastBatchesNested(spark, io, k = 1)
+      .collect()
+    val syncRows = feed.filter(_.getAs[String]("process") == "sync")
+    assert(syncRows.length == 1, s"k=1: one sync batch row, got ${syncRows.length}")
+    val row = syncRows.head
+    assert(row.getAs[String]("batch_id") == Checkpoint.toBatchId(ts(240)))
+    // the newest batch synced +20 listings, +0 media
+    assert(row.getAs[Long]("rows") == 20)
+    assert(row.getAs[String]("result") == "success")
+    val resources = row.getSeq[org.apache.spark.sql.Row](
+      row.fieldIndex("resources"))
+    assert(resources.map(_.getAs[String]("resource")) ==
+      Seq("listings", "media"), "nested per-resource rows, sorted")
+    val listings = resources.head
+    assert(listings.getAs[Long]("rows") == 20)
+    // per-partition lineage rides under each resource row
+    val parts = listings.getSeq[org.apache.spark.sql.Row](
+      listings.fieldIndex("partitions"))
+    assert(parts.nonEmpty, "listings batch must carry partition lineage")
+    assert(parts.map(_.getAs[Long]("postings")).sum > 0)
+    // media synced 0 rows in the newest batch: driver row present,
+    // partition lineage reflects its (possibly empty) delta segment
+    val media = resources(1)
+    assert(media.getAs[Long]("rows") == 0)
+  }
+
   test("gcVersions: crash leftovers (manifest-less version, in-flight segment) survive") {
     val root = tmpDir("graft-gccrash")
     val io = new TableIO(spark, root)

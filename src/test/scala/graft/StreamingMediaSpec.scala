@@ -78,9 +78,11 @@ class StreamingMediaSpec extends SparkTestBase {
     val cpDir = tmpDir("graft-ttl-cp")
     val outDir = tmpDir("graft-ttl-out") + "/survivors"
     val ttl = 10000L // 10s of EVENT time
+    // in-order feed: zero lateness keeps the event-time scale of this
+    // test compact (production default lags the watermark 7 days)
     def run(): Unit =
       StreamingSync.dedupOnIngestOnce(spark, pagesDir, cpDir, outDir,
-        stateTtlMs = ttl)
+        stateTtlMs = ttl, allowedLateness = "0 seconds")
     def bumped(i: Long, at: Long): PageRow = Corpus.row(i).copy(
       warc_ts = new java.sql.Timestamp(Corpus.warcTsMillis(at)))
 
@@ -119,6 +121,30 @@ class StreamingMediaSpec extends SparkTestBase {
       .parquet(pagesDir)
     run()
     assert(spark.read.parquet(outDir).count() == 23)
+  }
+
+  test("dedup-on-ingest: out-of-order page across ticks is processed, not dropped") {
+    val pagesDir = tmpDir("graft-ooo-pages")
+    val cpDir = tmpDir("graft-ooo-cp")
+    val outDir = tmpDir("graft-ooo-out") + "/survivors"
+    def run(): Unit = // lateness horizon >> this feed's disorder
+      StreamingSync.dedupOnIngestOnce(spark, pagesDir, cpDir, outDir,
+        allowedLateness = "1 hour")
+
+    // tick 1: docs 10..20 (warc_ts ≈ t0+10s..t0+19s) set the max event time
+    spark.range(10, 20).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 10)
+
+    // tick 2: doc 0 arrives LATE (warc_ts below tick 1's max). A 0-second
+    // watermark would drop it before the dedup function ran — silent data
+    // loss; within the lateness horizon it must be emitted as a new url.
+    spark.range(0, 1).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 11,
+      "late page within the lateness horizon must be ingested")
   }
 
   test("streaming watermarked window aggregation over pages") {
