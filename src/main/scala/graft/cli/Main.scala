@@ -86,6 +86,15 @@ object Main {
         else hits.zipWithIndex.foreach { case (h, i) =>
           println(f"${i + 1}%2d  ${h.score}%.6f  ${h.docId}%20d")
         }
+      case "schedule" =>
+        // the reference's cron loop: poll pagesDir every --interval, sync
+        // new files through the checkpointed SyncJob until killed
+        val pagesDir = opts.getOrElse("pages", sys.error("--pages required (a parquet dir)"))
+        val interval = opts.getOrElse("interval", "60 seconds")
+        val ticks = opts.get("max-batches").map(_.toInt)
+        graft.streaming.StreamingSync.runScheduled(spark, pagesDir, root,
+          s"$root/stream-checkpoint", interval, ticks)
+        println(s"schedule done: root=$root")
       case "query" =>
         val q = opts.getOrElse("q", sys.error("--q required"))
         val k = opts.get("k").map(_.toInt).getOrElse(10)
@@ -124,5 +133,7 @@ object Main {
       |                        [--batch-ts "yyyy-mm-dd hh:mm:ss"] [--max-purge N]
       |  query:                --root <dir> --q "<terms>" [--k 10]
       |  index-pos:            --pages <...> --root <dir>   (positional index)
-      |  phrase:               --root <dir> --q "<exact phrase>" [--k 10]""".stripMargin)
+      |  phrase:               --root <dir> --q "<exact phrase>" [--k 10]
+      |  schedule:             --pages <parquet dir> --root <dir>
+      |                        [--interval "60 seconds"] [--max-batches N]""".stripMargin)
 }

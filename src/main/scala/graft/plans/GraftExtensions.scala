@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, ExtractText, LshBits, TermStats}
+import graft.functions.{CosineSim, ExtractText, LshBits, SimHash64, TermStats}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * Catalyst expressions as SQL functions so any SQL-surface user can call
@@ -42,7 +42,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSim(es(0), es(1))),
     ("lsh_bits",
       info("lsh_bits", "_FUNC_(v) - 8-hyperplane sign-LSH bucket of a float vector"),
-      (es: Seq[Expression]) => LshBits(es.head)))
+      (es: Seq[Expression]) => LshBits(es.head)),
+    ("simhash64",
+      info("simhash64",
+        "_FUNC_(text) - struct(simhash_hi, simhash_lo): 64-bit tf-weighted SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -51,6 +51,48 @@ object StreamingSync {
     q.awaitTermination()
   }
 
+  /** The reference's CronJob-per-source scheduler (server/index.js:472-566)
+    * expressed Spark-natively: a long-lived micro-batch stream with
+    * Trigger.ProcessingTime — each firing drains the new files and routes
+    * them through the same checkpointed SyncJob, exactly like one cron
+    * tick, with Spark's streaming checkpoint as the scheduler state. The
+    * single-flight lock inside SyncJob still guards the root (a second
+    * scheduler against the same root refuses per tick).
+    *
+    * @param maxBatches stop after this many non-empty micro-batches
+    *                   (tests / bounded runs); None = run until killed,
+    *                   the production daemon mode
+    */
+  def runScheduled(spark: SparkSession, pagesDir: String, indexRoot: String,
+                   streamCheckpoint: String, interval: String,
+                   maxBatches: Option[Int] = None): Unit = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[PageRow].schema)
+      .parquet(pagesDir)
+      .as[PageRow]
+    val io = new TableIO(spark, indexRoot)
+    val seen = new java.util.concurrent.atomic.AtomicInteger()
+    val q = pages.writeStream
+      .option("checkpointLocation", streamCheckpoint)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>
+        val maxTs = batch.agg(max($"warc_ts")).head().getTimestamp(0)
+        if (maxTs != null) {
+          SyncJob.run(spark, io, batch, maxTs, resource = s"stream-$batchId")
+          seen.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    maxBatches match {
+      case Some(n) =>
+        while (q.isActive && seen.get() < n) Thread.sleep(200)
+        q.stop(); q.awaitTermination()
+      case None => q.awaitTermination()
+    }
+  }
+
   /** Per-url ingest state for [[dedupOnIngest]]: the newest indexed
     * timestamp and a 64-bit content hash.
     */

@@ -130,6 +130,10 @@ class ExpressionSpec extends SparkTestBase {
         "array(cast(1.0 as float), cast(0.0 as float))) AS c")
       .head().getDouble(0)
     assert(c == 1.0)
+    val sh = spark.sql(
+      "SELECT simhash64('a b a').simhash_lo AS lo, " +
+        "simhash64('a b a').simhash_hi AS hi").head()
+    assert(sh.getLong(0) != 0L || sh.getLong(1) != 0L)
   }
 
   test("analyze plan has no object-serialization seam") {

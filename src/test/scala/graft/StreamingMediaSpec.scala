@@ -36,6 +36,26 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("scheduled sync: ProcessingTime ticks index files as they appear") {
+    val pagesDir = tmpDir("graft-sched-pages")
+    val root = tmpDir("graft-sched-idx")
+    val cpDir = tmpDir("graft-sched-cp")
+    Corpus.pages(spark, 200, 2).write.mode("append").parquet(pagesDir)
+    // a second file lands while the scheduler is running — the next tick
+    // must pick it up (the cron-loop behavior, not a one-shot drain)
+    val writer = new Thread(() => {
+      Thread.sleep(2500)
+      spark.range(200, 300).map(i => Corpus.row(i)).write.mode("append")
+        .parquet(pagesDir)
+    })
+    writer.start()
+    StreamingSync.runScheduled(spark, pagesDir, root, cpDir, "1 second",
+      maxBatches = Some(2))
+    writer.join()
+    val r = new IndexReader(spark, root)
+    assert(r.stats.n == 300, s"scheduler ticks must have indexed all files, n=${r.stats.n}")
+  }
+
   test("stateful dedup-on-ingest: unchanged recrawls emit nothing") {
     val pagesDir = tmpDir("graft-dedupe-pages")
     val cpDir = tmpDir("graft-dedupe-cp")
