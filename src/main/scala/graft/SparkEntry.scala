@@ -499,8 +499,15 @@ object SparkEntry {
     */
   private def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val cand = minhashCandidates(s, dir)
-    val tk = t(s, dir, "documents").select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term")).distinct()
+    // only docs that appear in a candidate PAIR need tokenizing: the
+    // verifier's exact-Jaccard cost is O(candidate docs), not O(corpus)
+    // — the scale property that makes LSH-then-verify viable at 100 TB
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val tk = t(s, dir, "documents")
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term")).distinct()
     val sizes = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = broadcast(cand)
       .join(tk.select(col("doc_id").as("d1"), col("term")), Seq("d1"))

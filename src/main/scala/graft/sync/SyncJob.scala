@@ -126,6 +126,39 @@ object SyncJob {
 
   case class BatchResult(batchId: String, perResource: Map[String, Long])
 
+  /** Backfill-scale sync with MID-RESOURCE resume granularity — the
+    * reference resumes inside a resource at the first unfinished
+    * file × destination (destinationManager.js:99-134); the Spark-native
+    * analog splits a huge crawl window into TIME CHUNKS and syncs each as
+    * its own checkpointed batch: a kill loses at most one chunk's work,
+    * and a rerun's first chunks are published no-ops (their batch
+    * checkpoints short-circuit). The watermark advances per chunk, so
+    * each chunk's predicate is exactly (prevChunkEnd, chunkEnd]; LSM
+    * compaction amortizes the extra segments at the usual threshold.
+    *
+    * @param chunkMs chunk width in event-time millis
+    * @return one Result per executed chunk, in order
+    */
+  def runChunked(spark: SparkSession, io: TableIO, pages: Dataset[PageRow],
+                 batchTs: Timestamp, chunkMs: Long,
+                 resource: String = "pages"): Seq[Result] = {
+    require(chunkMs > 0, "chunkMs must be positive")
+    import spark.implicits._
+    val wm = primaryLo(spark, io).getTime
+    val hi = batchTs.getTime
+    // an initial backfill (epoch-0 watermark) anchors chunking at the
+    // source's earliest timestamp (one narrow ts-column scan) — chunking
+    // from 1970 would manufacture decades of empty batches
+    val lo =
+      if (wm > 0L) wm
+      else Option(pages.agg(min($"warc_ts")).head().getTimestamp(0))
+        .map(_.getTime - 1).getOrElse(return Seq.empty)
+    if (hi <= lo) return Seq.empty
+    val interior = Range.Long(lo + chunkMs, hi, chunkMs)
+    val bounds = interior :+ hi
+    bounds.map(t => run(spark, io, pages, new Timestamp(t), resource))
+  }
+
   /** Multi-resource batch: one batch syncs a LIST of resources, each into
     * its own index root (`root/resources/<name>` — the reference gives
     * each resource its own table / Solr core), with per-resource done

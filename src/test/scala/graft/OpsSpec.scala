@@ -256,6 +256,38 @@ class OpsSpec extends SparkTestBase {
     assert(purgeRows.head.getAs[Long]("rows") == 32)
   }
 
+  test("chunked backfill: per-chunk resume, answers equal one-shot sync") {
+    val rows = Corpus.localRows(900)
+    // one-shot reference build
+    val rootOne = tmpDir("graft-chunk-oneshot")
+    SyncJob.run(spark, new TableIO(spark, rootOne),
+      spark.createDataset(rows), ts(900))
+
+    // chunked: corpus rows are 1s apart → 300s chunks ≈ 3 batches
+    val root = tmpDir("graft-chunked")
+    val io = new TableIO(spark, root)
+    val results = SyncJob.runChunked(spark, io, spark.createDataset(rows),
+      ts(900), chunkMs = 300 * 1000L)
+    assert(results.size >= 3, s"expected >=3 chunks, got ${results.size}")
+    assert(results.map(_.deltaRows).sum == 900)
+
+    // resume semantics: rerunning the whole chunked backfill is a no-op
+    // per chunk (published batches short-circuit — a kill loses at most
+    // one chunk)
+    val rerun = SyncJob.runChunked(spark, io, spark.createDataset(rows),
+      ts(900), chunkMs = 300 * 1000L)
+    assert(rerun.map(_.deltaRows).sum == 0, "published chunks must skip")
+
+    // and answers equal the one-shot build exactly
+    val got = new graft.query.IndexReader(spark, root)
+    val want = new graft.query.IndexReader(spark, rootOne)
+    assert(got.stats.n == want.stats.n && got.stats.avgdl == want.stats.avgdl)
+    Seq("document", "the of and", "rare07").foreach { q =>
+      assert(got.topK(q, 10).toSeq == want.topK(q, 10).toSeq,
+        s"'$q' diverged between chunked and one-shot builds")
+    }
+  }
+
   test("nested last-batches rollup: per-resource + per-partition children") {
     val root = tmpDir("graft-nestedfeed")
     val io = new TableIO(spark, root)
