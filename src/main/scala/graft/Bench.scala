@@ -116,6 +116,17 @@ object Bench {
 
     // ---- 1. driver headline: SparkEntry queries on the sf dir ---------
     var spark = session(cpus)
+    // untimed session warm-up: one 1-row read per table + a trivial agg,
+    // so the alphabetically-first query does not absorb file listing,
+    // footer reads, and codegen initialization that belong to no
+    // operator (measured: the first table touch costs ~3-4s of pure
+    // session start-up; the same query re-run costs 0.3s)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case _: Exception => () }
+    }
+    spark.range(100000).selectExpr("sum(id * 3)").collect()
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (_, sec) = time {

@@ -86,6 +86,12 @@ object Main {
         else hits.zipWithIndex.foreach { case (h, i) =>
           println(f"${i + 1}%2d  ${h.score}%.6f  ${h.docId}%20d")
         }
+      case "compact-pos" =>
+        // fold posindex base + accumulated deltas into one live base
+        // (needs no source pages — works from the index's own tables)
+        graft.query.Phrase.foldPosindex(spark, io, s"$root/posindex",
+          new IndexReader(spark, root))
+        println(s"positional index folded: $root/posindex")
       case "schedule" =>
         // the reference's cron loop: poll pagesDir every --interval, sync
         // new files through the checkpointed SyncJob until killed
@@ -133,6 +139,7 @@ object Main {
       |                        [--batch-ts "yyyy-mm-dd hh:mm:ss"] [--max-purge N]
       |  query:                --root <dir> --q "<terms>" [--k 10]
       |  index-pos:            --pages <...> --root <dir>   (positional index)
+      |  compact-pos:          --root <dir>   (fold posindex base + deltas)
       |  phrase:               --root <dir> --q "<exact phrase>" [--k 10]
       |  schedule:             --pages <parquet dir> --root <dir>
       |                        [--interval "60 seconds"] [--max-batches N]""".stripMargin)

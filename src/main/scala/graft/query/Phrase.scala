@@ -296,6 +296,55 @@ object Phrase {
     } finally m.unpersist()
   }
 
+  /** Fold the maintained posindex: base + accumulated deltas collapse
+    * into ONE fresh base holding only LIVE entries, stamped with the
+    * current index version (the posindex analog of segment compaction —
+    * run it when the delta list has grown; needs no source pages). Dead
+    * entries (purged docs, out-stamped stale versions) drop via the same
+    * (docId, batch_id ≤ stamp) rule queries use; buckets are recomputed
+    * at the current width so mixed-width sources re-unify.
+    *
+    * Swap discipline: the new base is fully written (and stamped) under
+    * `base.next` before the old base moves aside; a crash between the
+    * two renames leaves no base — phrase queries then refuse crisply and
+    * the operator re-runs index-pos (or restores `base.trash`).
+    */
+  def foldPosindex(spark: SparkSession, io: TableIO, posRoot: String,
+                   reader: IndexReader): Unit = {
+    import spark.implicits._
+    val srcs = sources(spark, io, posRoot)
+    val blocks = srcs.map { s =>
+      spark.read.schema(posBlockSchema).parquet(s.dir)
+        .withColumn("stamp", lit(s.stamp))
+    }.reduce(_.unionByName(_))
+    val entries = blocks.as[StampedPosBlock].flatMap { b =>
+      Positional.decodeBlock(b.block).iterator.map { case (d, dl, ps) =>
+        (b.term, d, dl, ps.toSeq, b.stamp)
+      }
+    }.toDF("term", "docId", "dl", "positions", "stamp")
+    val live = entries
+      .join(reader.docs.select($"docId", $"batch_id"), Seq("docId"))
+      .filter($"batch_id" <= $"stamp")
+      .select($"term", $"docId", $"dl", $"positions")
+    val postings = live.as[(String, Long, Int, Seq[Int])]
+      .map { case (term, d, dl, ps) =>
+        graft.index.PosPosting(term, graft.index.DocIds.bucket(d), d, dl, ps)
+      }
+    val folded = Positional.buildBlocks(postings)
+    val next = s"$posRoot/base.next"
+    folded.toDF().write.mode("overwrite").parquet(next)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(posRoot).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val out = fs.create(p(s"$next/_built_from"), true)
+    try out.write(reader.version.getBytes("UTF-8")) finally out.close()
+    fs.delete(p(s"$posRoot/base.trash"), true)
+    fs.rename(p(s"$posRoot/base"), p(s"$posRoot/base.trash"))
+    fs.rename(p(next), p(s"$posRoot/base"))
+    fs.delete(p(s"$posRoot/base.trash"), true)
+    fs.delete(p(s"$posRoot/delta"), true)
+  }
+
   /** Exact phrase top-k against a SINGLE flat positional dir with no
     * liveness context (standalone corpora and tests; the maintained path
     * is [[topKLive]]).

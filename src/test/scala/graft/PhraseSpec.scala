@@ -206,6 +206,20 @@ class PhraseSpec extends SparkTestBase {
     phrase(s"document ${M + 5}", live2)
     phrase("the the", live2)
 
+    // fold: base + deltas collapse to ONE live base stamped with the
+    // current version; answers unchanged, deltas gone
+    Phrase.foldPosindex(spark, io, s"$root/posindex",
+      new IndexReader(spark, root))
+    assert(Phrase.sources(spark, io, s"$root/posindex").size == 1,
+      "fold must leave a single base source")
+    assert(Positional.builtFrom(spark, s"$root/posindex/base")
+      .contains(io.currentVersion().get))
+    phrase("document 9999", live2)
+    phrase("the the", live2)
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 7", 10,
+      new IndexReader(spark, root)).isEmpty,
+      "folded base must not resurrect out-stamped entries")
+
     // coverage gap: a batch synced with the posindex base REMOVED has no
     // delta — phrase must refuse crisply, not silently miss docs
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(

@@ -97,6 +97,28 @@ class PlanSpec extends SparkTestBase {
     assert(reader.topK("rare07", 5).nonEmpty)
   }
 
+  test("dict-chain probe: term filter pushes below the fold to the scans") {
+    // a 2-link chain (base + one append delta): the probe's isin(term)
+    // filter is on the fold's grouping key, so Catalyst must push it
+    // through the aggregate into BOTH parquet scans — the probe stays a
+    // pruned scan even on multi-link chains
+    val r2 = tmpDir("graft-plan-chain")
+    val io2 = new TableIO(spark, r2)
+    SyncJob.run(spark, io2, Corpus.pages(spark, 300, 4),
+      new Timestamp(Corpus.warcTsMillis(300)))
+    SyncJob.run(spark, io2, Corpus.pages(spark, 320, 4),
+      new Timestamp(Corpus.warcTsMillis(320)))
+    val chain = io2.readDictChain(io2.currentVersion().get)
+    assert(chain.size == 2, s"expected a 2-link chain, got $chain")
+    val probe = graft.sync.Tables.dictView(spark, io2, chain)
+      .filter($"term".isin("the", "rare07"))
+    val plan = executedPlan(probe)
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"probe filter not pushed below the dict fold:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected the fold aggregate above the scans:\n$plan")
+  }
+
   test("watermark filter prunes at the pages scan (parquet pushdown)") {
     val dir = tmpDir("graft-plan-pages")
     Corpus.pages(spark, 300, 2).write.parquet(dir + "/p")
