@@ -86,6 +86,13 @@ class IndexReader(spark: SparkSession, root: String) {
     if (tombstoneCount == 0 || deadDistributed) Map.empty
     else tombstonesDf.as[Tombstone].collect().map(t => t.docId -> t.before).toMap
 
+  /** Distinct batch_ids among LIVE docs (≈ #segments values; one pruned
+    * column scan, computed lazily once per reader — this snapshot's set
+    * is immutable). Phrase coverage checks consume it.
+    */
+  lazy val liveBatchIds: Seq[String] =
+    docs.select("batch_id").distinct().as[String].collect().toSeq
+
   /** Live doc rows (tombstone-filtered; no join when the set is empty,
     * broadcast join when it is small, shuffle join when it is large).
     */

@@ -230,12 +230,12 @@ object Phrase {
     // structural coverage: every live batch must be answerable — by the
     // base (batch ≤ base stamp) or by its own delta. A gap (e.g. a sync
     // that ran while no posindex existed) errors crisply instead of
-    // silently missing documents. One tiny distinct scan: #batches ≈
-    // #segments.
+    // silently missing documents. The live batch-id set is cached per
+    // reader (snapshot-immutable), so repeated phrase queries pay no
+    // extra scan.
     val baseStamp = srcs.head.stamp
     val stamps = srcs.map(_.stamp).toSet
-    val uncovered = reader.docs.select("batch_id").distinct()
-      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val uncovered = reader.liveBatchIds
       .filter(b => b > baseStamp && !stamps.contains(b))
     if (uncovered.nonEmpty)
       throw new IllegalStateException(
@@ -312,6 +312,16 @@ object Phrase {
   def foldPosindex(spark: SparkSession, io: TableIO, posRoot: String,
                    reader: IndexReader): Unit = {
     import spark.implicits._
+    // the same single-flight lock the sync jobs take: a concurrent sync
+    // could otherwise adopt a fresh delta while we fold — which we would
+    // then delete unfolded. Only the dirs ENUMERATED here are deleted.
+    val release = io.acquireLock("compact-pos")
+    try foldLocked(spark, io, posRoot, reader) finally release()
+  }
+
+  private def foldLocked(spark: SparkSession, io: TableIO, posRoot: String,
+                         reader: IndexReader): Unit = {
+    import spark.implicits._
     val srcs = sources(spark, io, posRoot)
     val blocks = srcs.map { s =>
       spark.read.schema(posBlockSchema).parquet(s.dir)
@@ -342,7 +352,8 @@ object Phrase {
     fs.rename(p(s"$posRoot/base"), p(s"$posRoot/base.trash"))
     fs.rename(p(next), p(s"$posRoot/base"))
     fs.delete(p(s"$posRoot/base.trash"), true)
-    fs.delete(p(s"$posRoot/delta"), true)
+    // delete only the delta dirs this fold actually consumed
+    srcs.tail.foreach(s => fs.delete(p(s.dir), true))
   }
 
   /** Exact phrase top-k against a SINGLE flat positional dir with no

@@ -87,12 +87,17 @@ object StatsQueries {
           .map(r => r -> s"$resourcesDir/$r/metrics")
       } else Seq("pages" -> io.metricsDir)
     val present = ledgers.filter(l => io.exists(l._2))
-    if (present.isEmpty)
-      return spark.emptyDataFrame
-        .withColumn("process", lit("")).limit(0)
-    val all = present.map { case (res, dir) =>
-      io.readParquet(dir).withColumn("resource", lit(res))
-    }.reduce(_.unionByName(_))
+    // a root with no ledger yet still flows through the same pipeline on
+    // an empty frame, so the empty result carries the SAME schema as the
+    // populated one (a feed consumer unions or selects columns either way)
+    val all =
+      if (present.isEmpty)
+        spark.emptyDataset[graft.MetricsRow](
+            org.apache.spark.sql.Encoders.product[graft.MetricsRow])
+          .toDF().withColumn("resource", lit("pages"))
+      else present.map { case (res, dir) =>
+        io.readParquet(dir).withColumn("resource", lit(res))
+      }.reduce(_.unionByName(_))
 
     val parts = all.filter($"partitionId" >= 0)
       .groupBy($"process", $"batch_id", $"resource")

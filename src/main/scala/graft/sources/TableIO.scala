@@ -82,19 +82,26 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
   }
 
   /** The docId bucket width this index was built at (recorded per
-    * version; read paths must use it instead of runtime config).
+    * version; read paths must use it instead of runtime config). A
+    * manifest without the recording fails loudly — falling back to the
+    * runtime config would make the width-mismatch guard vacuous and
+    * silently mis-bucket reads.
     */
   def readBucketBits(version: String): Int = {
     val content = readSmallFile(s"${versionDir(version)}/manifest").getOrElse(
       throw new IllegalStateException(s"no manifest for version $version"))
     TableIO.ManifestBitsRe.findFirstMatchIn(content)
       .map(_.group(1).toInt)
-      .getOrElse(graft.index.DocIds.bucketBits)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest of $version carries no bucketBits recording — the " +
+          "index was written by an incompatible layout; rebuild it"))
   }
 
   /** The version's dict chain, oldest first: one FULL dict id followed by
-    * zero or more DELTA ids (appends since the last fold). Falls back to
-    * [version] for manifests predating the chain field.
+    * zero or more DELTA ids (appends since the last fold). A manifest
+    * without the field is from an incompatible layout — fail loudly
+    * (guessing a location is exactly the silent-corruption class the
+    * recording discipline exists to kill).
     */
   def readDictChain(version: String): Seq[String] = {
     val content = readSmallFile(s"${versionDir(version)}/manifest").getOrElse(
@@ -102,7 +109,9 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
     TableIO.ManifestDictRe.findFirstMatchIn(content)
       .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq(version))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest of $version carries no dict chain — the index was " +
+          "written by an incompatible layout; rebuild it"))
   }
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
@@ -253,7 +262,26 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
         try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
       if (claimed) {
         if (readSmallFile(tomb.toString).contains(token)) fs.delete(tomb, false)
-        else fs.rename(tomb, lock) // another holder's fresh lock: restore
+        else {
+          // another holder's fresh lock (we were stale-broken): restore
+          // it. A waiter may acquire during the gap — retry, and if the
+          // slot is re-occupied surface the dual-holder hazard instead
+          // of failing silently (mutual exclusion was already
+          // compromised the moment OUR lock was declared stale).
+          var restored = false
+          var attempts = 0
+          while (!restored && attempts < 5) {
+            restored =
+              try fs.rename(tomb, lock) catch { case _: java.io.IOException => false }
+            if (!restored) { attempts += 1; Thread.sleep(20L * attempts) }
+          }
+          if (!restored)
+            System.err.println(
+              s"[graft] WARNING: lock release could not restore another " +
+                s"holder's lock at $lock (a waiter re-acquired during the " +
+                s"window) — the displaced holder's token is preserved at " +
+                s"$tomb; two jobs may be active against $root")
+        }
       }
     }
   }

@@ -26,6 +26,24 @@ object StreamingSync {
     * `pagesDir`. Blocks until all currently-available data is processed
     * (AvailableNow), like one cron tick of the reference.
     */
+  /** Sync batch timestamp for one micro-batch: its max warc_ts, clamped
+    * STRICTLY ABOVE the currently published version. Two ticks whose max
+    * warc_ts land in the same second would otherwise share a batchId
+    * with different per-tick resources — no checkpoint short-circuit, a
+    * duplicate segment id in the manifest, spurious tombstones. The
+    * clamp also keeps version ids monotone when a tick's data is older
+    * than the published version (gcVersions sorts by id). Rows at or
+    * below the indexed watermark are still dropped by the sync's
+    * predicate — the reference's incremental filter behaves identically
+    * for stale ModificationTimestamps.
+    */
+  private def tickBatchTs(io: TableIO, maxTs: java.sql.Timestamp): Timestamp = {
+    val floor = io.currentVersion()
+      .map(v => graft.sync.Checkpoint.fromBatchId(v).getTime + 1L)
+      .getOrElse(Long.MinValue)
+    new Timestamp(math.max(maxTs.getTime, floor))
+  }
+
   def runAvailableNow(spark: SparkSession, pagesDir: String, indexRoot: String,
                       streamCheckpoint: String): Unit = {
     import spark.implicits._
@@ -38,13 +56,14 @@ object StreamingSync {
       .option("checkpointLocation", streamCheckpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>
-        // micro-batch watermark = max warc_ts in the batch; the SyncJob
-        // re-filters against its own indexed watermark, so replays of a
-        // failed micro-batch stay idempotent (same batchTs → same batchId
-        // → done stages skip)
+        // micro-batch watermark = max warc_ts in the batch (clamped — see
+        // tickBatchTs); the SyncJob re-filters against its own indexed
+        // watermark, so replays of a failed micro-batch stay idempotent
+        // (same batchTs → same batchId → done stages skip)
         val maxTs = batch.agg(max($"warc_ts")).head().getTimestamp(0)
         if (maxTs != null)
-          SyncJob.run(spark, io, batch, maxTs, resource = s"stream-$batchId")
+          SyncJob.run(spark, io, batch, tickBatchTs(io, maxTs),
+            resource = s"stream-$batchId")
         ()
       }
       .start()
@@ -79,7 +98,8 @@ object StreamingSync {
       .foreachBatch { (batch: Dataset[PageRow], batchId: Long) =>
         val maxTs = batch.agg(max($"warc_ts")).head().getTimestamp(0)
         if (maxTs != null) {
-          SyncJob.run(spark, io, batch, maxTs, resource = s"stream-$batchId")
+          SyncJob.run(spark, io, batch, tickBatchTs(io, maxTs),
+            resource = s"stream-$batchId")
           seen.incrementAndGet()
         }
         ()

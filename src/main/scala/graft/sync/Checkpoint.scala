@@ -129,4 +129,8 @@ object Checkpoint {
     * flattened to dashes, trailing Z.
     */
   def toBatchId(ts: Timestamp): String = fmt.format(ts) + "Z"
+
+  /** batchId → Timestamp (inverse of [[toBatchId]]). */
+  def fromBatchId(batchId: String): Timestamp =
+    new Timestamp(fmt.parse(batchId.stripSuffix("Z")).getTime)
 }

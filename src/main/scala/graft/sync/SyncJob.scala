@@ -57,16 +57,21 @@ object SyncJob {
     *                    checkpoint flags remain, so a later real run of
     *                    the same batch resumes straight at the merge.
     */
-  /** @param fwdBits   explicit fwd bucket width for this batch's segment
-    *                   (None = initial builds use the configured ceiling,
-    *                   incremental deltas adapt to their measured size).
-    *                   An ephemeral single-query index passes Some(0) to
-    *                   skip bucketing it will never probe.
+  /** @param fwdBits     explicit fwd bucket width for this batch's
+    *                     segment (None = initial builds use the
+    *                     configured ceiling, incremental deltas adapt to
+    *                     their measured size). An ephemeral single-query
+    *                     index passes Some(0) to skip bucketing it will
+    *                     never probe.
+    * @param fwdAdaptive  adapt the width even for an INITIAL build
+    *                     (chunked backfills: the first chunk is small by
+    *                     design, not corpus-scale)
     */
   def run(spark: SparkSession, io: TableIO, pages: Dataset[PageRow],
           batchTs: Timestamp, resource: String = "pages",
           userFilter: Option[org.apache.spark.sql.Column] = None,
-          dryRun: Boolean = false, fwdBits: Option[Int] = None): Result = {
+          dryRun: Boolean = false, fwdBits: Option[Int] = None,
+          fwdAdaptive: Boolean = false): Result = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val batchId = Checkpoint.toBatchId(batchTs)
@@ -82,7 +87,7 @@ object SyncJob {
     try Metrics.withBudget(spark, io, batchId, Process, t0) {
       val src = userFilter.map(pages.filter).getOrElse(pages)
       runLocked(spark, io, cp, src, batchTs, batchId, resource, t0, dryRun,
-        fwdBits)
+        fwdBits, fwdAdaptive)
     } finally release()
   }
 
@@ -90,7 +95,8 @@ object SyncJob {
                         pages: Dataset[PageRow], batchTs: Timestamp,
                         batchId: String, resource: String,
                         t0: Long, dryRun: Boolean = false,
-                        fwdBits: Option[Int] = None): Result = {
+                        fwdBits: Option[Int] = None,
+                        fwdAdaptive: Boolean = false): Result = {
     import spark.implicits._
 
     // ---- analyze ----------------------------------------------------
@@ -111,7 +117,7 @@ object SyncJob {
         val analyzedDf = SegmentBuilder.analyze(delta).toDF()
         fwdBits match {
           case Some(b) => Tables.writeFwd(analyzedDf, analyzedDir, b)
-          case None if lo == Epoch0 =>
+          case None if lo == Epoch0 && !fwdAdaptive =>
             Tables.writeFwd(analyzedDf, analyzedDir)
           case None =>
             Tables.writeFwdAdaptive(spark, analyzedDf, analyzedDir)
@@ -146,17 +152,23 @@ object SyncJob {
     import spark.implicits._
     val wm = primaryLo(spark, io).getTime
     val hi = batchTs.getTime
-    // an initial backfill (epoch-0 watermark) anchors chunking at the
-    // source's earliest timestamp (one narrow ts-column scan) — chunking
-    // from 1970 would manufacture decades of empty batches
-    val lo =
-      if (wm > 0L) wm
-      else Option(pages.agg(min($"warc_ts")).head().getTimestamp(0))
-        .map(_.getTime - 1).getOrElse(return Seq.empty)
+    // anchor chunking at the NEW data's earliest timestamp (one narrow
+    // ts-column scan of the window) — chunking from the watermark alone
+    // would manufacture one full published batch per empty chunk across
+    // any idle gap (and an epoch-0 initial watermark would chunk from
+    // 1970)
+    val minNew = Option(pages
+      .filter($"warc_ts" > new Timestamp(wm) && $"warc_ts" <= batchTs)
+      .agg(min($"warc_ts")).head().getTimestamp(0))
+      .map(_.getTime - 1).getOrElse(return Seq.empty)
+    val lo = math.max(wm, minNew)
     if (hi <= lo) return Seq.empty
     val interior = Range.Long(lo + chunkMs, hi, chunkMs)
     val bounds = interior :+ hi
-    bounds.map(t => run(spark, io, pages, new Timestamp(t), resource))
+    // every chunk — including the initial one — sizes its fwd adaptively:
+    // chunks are deliberately small, the 256-dir ceiling write is not
+    bounds.map(t =>
+      run(spark, io, pages, new Timestamp(t), resource, fwdAdaptive = true))
   }
 
   /** Multi-resource batch: one batch syncs a LIST of resources, each into
@@ -350,12 +362,6 @@ object SyncJob {
 
     // ---- merge -------------------------------------------------------
     if (!cp.isDone(batchId, process, resource, "merge")) timed(batchId, "merge") {
-      // adopt the staged positional delta, if the analyze stage wrote one
-      // (maintained posindex; moveDir is idempotent for resumed batches)
-      val stagedPos = io.stagingDir(batchId, "pos")
-      if (io.exists(stagedPos) ||
-          io.exists(s"${io.root}/posindex/delta/$batchId"))
-        io.moveDir(stagedPos, s"${io.root}/posindex/delta/$batchId")
       val old = Tables.loadCurrent(spark, io)
       val staged = Some((docsDir, blocksDir, analyzedDir))
       val purgedDs = purged.getOrElse(spark.emptyDataset[Long])
@@ -389,6 +395,18 @@ object SyncJob {
       .getOrElse(io.readParquet(s"${io.segmentDir(batchId)}/docs").count())
     timed(batchId, "publish") {
       io.publish(batchId)
+      // adopt the staged positional delta AFTER the pointer flip
+      // (maintained posindex; moveDir is idempotent for resumed batches,
+      // and publish is not marked done until after this — a crash here
+      // re-runs the stage). Adopting before the merge published would
+      // let a concurrent phrase query see an updated doc TWICE (its base
+      // entry still live against the old version AND the unpublished
+      // delta's); adopting after at worst surfaces the crisp
+      // coverage-gap refusal for a moment, never a silent double count.
+      val stagedPos = io.stagingDir(batchId, "pos")
+      if (io.exists(stagedPos) ||
+          io.exists(s"${io.root}/posindex/delta/$batchId"))
+        io.moveDir(stagedPos, s"${io.root}/posindex/delta/$batchId")
       val millis = System.currentTimeMillis() - t0
       // lineage rides on the batch's own segment — O(delta), the rest of
       // the index is untouched by this batch

@@ -36,6 +36,32 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming tick with regressed timestamps keeps versions monotone") {
+    val pagesDir = tmpDir("graft-regress-pages")
+    val root = tmpDir("graft-regress-idx")
+    val cpDir = tmpDir("graft-regress-cp")
+    val io = new graft.sources.TableIO(spark, root)
+    spark.range(0, 200).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    StreamingSync.runAvailableNow(spark, pagesDir, root, cpDir)
+    val v1 = io.currentVersion().get
+
+    // a late file RE-DELIVERS old rows (max warc_ts below the published
+    // version): without the batchTs clamp this tick would reuse/regress
+    // the batchId — duplicate segment ids in the manifest, spurious
+    // tombstones, a version id sorting BELOW `current`
+    spark.range(0, 50).map(i => Corpus.row(i)).write.mode("append")
+      .parquet(pagesDir)
+    StreamingSync.runAvailableNow(spark, pagesDir, root, cpDir)
+    val v2 = io.currentVersion().get
+    assert(v2 > v1, s"version must advance monotonically: $v1 -> $v2")
+    val (segs, _) = io.readManifest(v2)
+    assert(segs.distinct == segs, s"duplicate segment ids: $segs")
+    // stale re-delivery is dropped by the watermark (the reference's
+    // incremental filter skips stale ModificationTimestamps identically)
+    assert(new IndexReader(spark, root).stats.n == 200)
+  }
+
   test("scheduled sync: ProcessingTime ticks index files as they appear") {
     val pagesDir = tmpDir("graft-sched-pages")
     val root = tmpDir("graft-sched-idx")
