@@ -121,16 +121,21 @@ object Checkpoint {
   private[sync] val LineRe =
     """\{"batch_id":"([^"]+)","process":"([^"]+)","resource":"([^"]+)","stage":"([^"]+)","done":true""".r
 
-  private val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd-'T'-HH-mm-ss-SSS")
-  fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+  // SimpleDateFormat is not thread-safe; a streaming tick's foreachBatch
+  // thread and the driver can both format batch ids
+  private val fmt = ThreadLocal.withInitial[java.text.SimpleDateFormat] { () =>
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd-'T'-HH-mm-ss-SSS")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f
+  }
 
   /** Timestamp → batchId, same grammar as the reference's
     * convertTimestampToBatchId (utils.js:188-194): ISO with separators
     * flattened to dashes, trailing Z.
     */
-  def toBatchId(ts: Timestamp): String = fmt.format(ts) + "Z"
+  def toBatchId(ts: Timestamp): String = fmt.get.format(ts) + "Z"
 
   /** batchId → Timestamp (inverse of [[toBatchId]]). */
   def fromBatchId(batchId: String): Timestamp =
-    new Timestamp(fmt.parse(batchId.stripSuffix("Z")).getTime)
+    new Timestamp(fmt.get.parse(batchId.stripSuffix("Z")).getTime)
 }
