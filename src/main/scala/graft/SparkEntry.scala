@@ -281,8 +281,13 @@ object SparkEntry {
     */
   private def qEngineBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // throwaway single-query index: tmpfs when available (the ephemeral
+    // staging/publish churn is pure overhead on a disk)
+    val tmpBase = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir"))
     val root = java.nio.file.Files
-      .createTempDirectory("graft-entry-index").toString
+      .createTempDirectory(tmpBase, "graft-entry-index").toString
     // documents.text is verified [a-z0-9 ]-only, so a single <p> wrapper
     // satisfies the extractor's byte-identical roundtrip with no escaping
     val pages = t(s, dir, "documents").select(
@@ -303,6 +308,9 @@ object SparkEntry {
     // fetch deep (k=200) so the round-to-4-decimals re-rank below can
     // re-break ties the same way the SQL oracle does before the limit
     val hits = reader.search("spark stream vector", 200)
+    // hits are collected — the ephemeral index can go (tmpfs-resident)
+    reader.dict.unpersist()
+    io.deleteDir(root)
     hits.map(h => (h.url.stripPrefix("doc://").toLong,
         BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP)
           .toDouble))
