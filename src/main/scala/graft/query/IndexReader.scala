@@ -176,13 +176,23 @@ class IndexReader(spark: SparkSession, root: String) {
     val candidates: Array[Hit] =
       if (localOk && probe.length <= LocalEvalMaxBlocks) {
         if (probe.isEmpty) return Array.empty
-        probe.groupBy(_.bucket).toSeq
-          .flatMap { g =>
+        // per-bucket WAND instances are independent — run them across
+        // the driver's cores instead of serially (a stopword query on
+        // this path decodes thousands of blocks; each bucket's result is
+        // deterministic and the concatenation keeps bucket order, so
+        // answers are bit-identical to the sequential evaluation)
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val groups = probe.groupBy(_.bucket).toSeq
+        val perBucket = Future.sequence(groups.map { g =>
+          Future {
             val byTerm = g._2.groupBy(_.term).toSeq
             if (useWand) Wand.topKInBucket(byTerm, idf, avgdl, k, dead)
             else Wand.taatInBucket(byTerm, idf, avgdl, k, dead)
           }
-          .toArray
+        })
+        Await.result(perBucket, scala.concurrent.duration.Duration.Inf)
+          .flatten.toArray
       } else if (!deadDistributed) {
         // stopword-scale posting set: per-bucket WAND, moving only the
         // query terms' compressed blocks
