@@ -69,8 +69,14 @@ object Main {
         println(s"reconcile done: batch=${r.batchId} reindexed=${r.reindexed} " +
           s"millis=${r.millis}")
       case "index-pos" =>
-        graft.index.Positional.build(spark, pages(spark, opts),
+        // under the single-flight lock: racing a concurrent sync, an
+        // unlocked build could overwrite base + delete a just-adopted
+        // delta the new stamp does not cover (phrase queries would then
+        // refuse until a re-run). currentVersion is read under the lock.
+        val release = io.acquireLock("index-pos")
+        try graft.index.Positional.build(spark, pages(spark, opts),
           s"$root/posindex", io.currentVersion())
+        finally release()
         println(s"positional index written: $root/posindex")
       case "phrase" =>
         val q = opts.getOrElse("q", sys.error("--q required"))
@@ -88,9 +94,9 @@ object Main {
         }
       case "compact-pos" =>
         // fold posindex base + accumulated deltas into one live base
-        // (needs no source pages — works from the index's own tables)
-        graft.query.Phrase.foldPosindex(spark, io, s"$root/posindex",
-          new IndexReader(spark, root))
+        // (needs no source pages — works from the index's own tables;
+        // the index snapshot is resolved inside, AFTER the lock is held)
+        graft.query.Phrase.foldPosindex(spark, io, s"$root/posindex")
         println(s"positional index folded: $root/posindex")
       case "schedule" =>
         // the reference's cron loop: poll pagesDir every --interval, sync

@@ -43,8 +43,18 @@ object Phrase {
   private val resident = new java.util.concurrent.atomic.AtomicLong()
   val maxResidentPositions = new java.util.concurrent.atomic.LongAccumulator(
     java.lang.Long.max _, 0L)
+
+  /** High-water of match TUPLES buffered by our scoring code (per-bucket
+    * heap + flush iterator) — the streaming score path holds O(k), never
+    * O(bucket-matches); a stopword bigram matching most of a bucket must
+    * not materialize the bucket's matches in one task (PhraseSpec).
+    * Spark's external sort upstream is spill-safe and excluded by design.
+    */
+  val maxResidentMatches = new java.util.concurrent.atomic.LongAccumulator(
+    java.lang.Long.max _, 0L)
+
   def resetResidentTracking(): Unit = {
-    resident.set(0L); maxResidentPositions.reset()
+    resident.set(0L); maxResidentPositions.reset(); maxResidentMatches.reset()
   }
 
   /** Position-list intersection for one doc: count of p where slot i has
@@ -137,6 +147,12 @@ object Phrase {
 
   /** All phrase matches in one (source, bucket) group via cursor
     * intersection: the rarest distinct term leads, the rest gallop to it.
+    *
+    * Yields LAZILY — matches stream out one at a time instead of
+    * accumulating a bucket's worth in a Vector (a stopword bigram can
+    * match most of a bucket). Cursors close when the iterator exhausts
+    * AND on any mid-intersection exception (a corrupt block must not
+    * leak the JVM-global `resident` counter).
     */
   private[query] def matchesInBucket(
       termBlocks: Seq[(String, Array[PosBlock])],
@@ -148,30 +164,45 @@ object Phrase {
     val slotCursors = phraseTerms.map(cursors).toArray
     val lead = cursors.values.minBy(_.totalPostings)
     val others = cursors.values.filter(_ ne lead).toArray
-    val out = Vector.newBuilder[PhraseMatch]
-    while (!lead.exhausted) {
-      val d = lead.curDoc
-      var ok = true
-      var i = 0
-      while (ok && i < others.length) {
-        others(i).seek(d)
-        ok = !others(i).exhausted && others(i).curDoc == d
-        i += 1
+    new Iterator[PhraseMatch] {
+      private var pending: PhraseMatch = _
+      private var closed = false
+      private def closeAll(): Unit =
+        if (!closed) { closed = true; cursors.values.foreach(_.close()) }
+      private def fetch(): Unit =
+        try {
+          while (pending == null && !lead.exhausted) {
+            val d = lead.curDoc
+            var ok = true
+            var i = 0
+            while (ok && i < others.length) {
+              others(i).seek(d)
+              ok = !others(i).exhausted && others(i).curDoc == d
+              i += 1
+            }
+            if (ok) {
+              val tf = phraseCount(slotCursors.map(_.positions))
+              if (tf > 0) pending = PhraseMatch(d, lead.dl, tf)
+              lead.next()
+            } else if (others(i - 1).exhausted) {
+              // a term ran out: no further doc can match
+              while (!lead.exhausted) lead.seek(Long.MaxValue)
+            } else {
+              // gallop the lead to the blocker's position
+              lead.seek(others(i - 1).curDoc)
+            }
+          }
+          if (pending == null) closeAll()
+        } catch { case e: Throwable => closeAll(); throw e }
+      def hasNext: Boolean = {
+        if (pending == null && !closed) fetch()
+        pending != null
       }
-      if (ok) {
-        val tf = phraseCount(slotCursors.map(_.positions))
-        if (tf > 0) out += PhraseMatch(d, lead.dl, tf)
-        lead.next()
-      } else if (i <= others.length && others(i - 1).exhausted) {
-        // a term ran out: no further doc can match
-        while (!lead.exhausted) lead.seek(Long.MaxValue)
-      } else {
-        // gallop the lead to the blocker's position
-        lead.seek(others(i - 1).curDoc)
+      def next(): PhraseMatch = {
+        if (!hasNext) throw new NoSuchElementException
+        val m = pending; pending = null; m
       }
     }
-    cursors.values.foreach(_.close())
-    out.result().iterator
   }
 
   /** One positional source: its blocks dir + the batch stamp its content
@@ -197,7 +228,14 @@ object Phrase {
         val p = new org.apache.hadoop.fs.Path(deltaRoot)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-          .sorted.map(b => PosSource(b, s"$deltaRoot/$b"))
+          .sorted
+          // a delta stamped ≤ the base is SUBSUMED by definition (the
+          // base covers every batch ≤ its stamp) — drop it here so a
+          // crash between a fold's base swap and its delta deletes can
+          // never double-count a doc; the lingering dirs are re-deleted
+          // by the next fold (self-healing)
+          .filter(_ > stamp)
+          .map(b => PosSource(b, s"$deltaRoot/$b"))
       }
     PosSource(stamp, base) +: deltas
   }
@@ -226,7 +264,22 @@ object Phrase {
     import spark.implicits._
     val terms = graft.analysis.Tokenizer.tokenize(phrase).toSeq
     if (terms.isEmpty || k <= 0) return Array.empty
-    val srcs = sources(spark, io, posRoot)
+    // snapshot discipline: liveness is verified against the READER's docs
+    // snapshot, so only sources within that snapshot may answer. A delta
+    // adopted by a publish AFTER the reader was created (stamp >
+    // reader.version) would let an updated doc pass the batch_id ≤ stamp
+    // filter for BOTH its old source and the new delta — a silent double
+    // count — so such deltas are excluded; batchIds compare
+    // lexicographically-chronologically. A base NEWER than the reader
+    // (a concurrent fold) has already consumed the old deltas, so the
+    // snapshot is unanswerable — refuse crisply instead.
+    val srcs0 = sources(spark, io, posRoot)
+    if (srcs0.head.stamp > reader.version)
+      throw new IllegalStateException(
+        s"posindex base at $posRoot is stamped ${srcs0.head.stamp}, newer " +
+          s"than this reader's snapshot ${reader.version} — re-open the " +
+          "reader (a fold ran since)")
+    val srcs = srcs0.head +: srcs0.tail.filter(_.stamp <= reader.version)
     // structural coverage: every live batch must be answerable — by the
     // base (batch ≤ base stamp) or by its own delta. A gap (e.g. a sync
     // that ran while no posindex existed) errors crisply instead of
@@ -272,23 +325,64 @@ object Phrase {
       docIdsVB, tfsVB, dlsVB, posVB)
   }
 
-  /** df count + bounded per-bucket heaps + driver head — shared tail. */
+  /** df count + bounded per-bucket heaps + driver head — shared tail.
+    *
+    * Fully streaming: matches repartition by bucket and sort WITHIN
+    * partitions on (bucket, docId) — Spark's external, spill-safe sort —
+    * then flow one at a time into a bounded per-bucket heap (flushed on
+    * bucket change). Our code holds O(k) tuples, never O(bucket-matches):
+    * a stopword bigram matching most of a bucket costs spill, not heap
+    * (the r4 shape did ms.toArray.sortBy — all of a bucket's matches
+    * resident in one task). The ascending-docId feed keeps the
+    * deterministic tie discipline, so answers are bit-identical.
+    */
   private def scoreMatches(matches: Dataset[(Long, Int, Int)], k: Int,
                            n: Long, avgdl: Double): Array[Hit] = {
-    import matches.sparkSession.implicits._
+    val spark = matches.sparkSession
+    import spark.implicits._
     val m = matches.persist()
     try {
       val df = m.count() // distributed — the phrase's global df
       if (df == 0) return Array.empty
       val idf = Bm25.idf(n, df)
-      m.groupByKey(t => graft.index.DocIds.bucket(t._1))
-        .flatMapGroups { (_, ms) =>
-          val topk = new Wand.TopK(k)
-          // ascending docId feed keeps the deterministic tie discipline
-          ms.toArray.sortBy(_._1).foreach { case (docId, dl, tf) =>
-            topk.insert(docId, Bm25.termScore(idf, tf, dl, avgdl))
+      m.map(t => (graft.index.DocIds.bucket(t._1), t._1, t._2, t._3))
+        .toDF("bucket", "docId", "dl", "tf")
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("docId"))
+        .as[(Int, Long, Int, Int)]
+        .mapPartitions { rows =>
+          new Iterator[Hit] {
+            private var flushed: Iterator[Hit] = Iterator.empty
+            private var flushedLeft = 0
+            private var topk: Wand.TopK = null
+            private var curBucket = 0
+            private def note(): Unit = maxResidentMatches.accumulate(
+              (if (topk == null) 0 else topk.size) + flushedLeft.toLong)
+            private def refill(): Unit =
+              while (!flushed.hasNext) {
+                if (rows.hasNext) {
+                  val (b, docId, dl, tf) = rows.next()
+                  if (topk == null) { topk = new Wand.TopK(k); curBucket = b }
+                  else if (b != curBucket) {
+                    val r = topk.result()
+                    flushed = r.iterator; flushedLeft = r.length
+                    topk = new Wand.TopK(k); curBucket = b
+                  }
+                  topk.insert(docId, Bm25.termScore(idf, tf, dl, avgdl))
+                  note()
+                } else if (topk != null) {
+                  val r = topk.result()
+                  flushed = r.iterator; flushedLeft = r.length
+                  topk = null
+                  note()
+                } else return
+              }
+            def hasNext: Boolean = { refill(); flushed.hasNext }
+            def next(): Hit = {
+              refill()
+              val h = flushed.next(); flushedLeft -= 1; h
+            }
           }
-          topk.result().iterator
         }
         .collect()
         .sortBy(h => (-h.score, h.docId))
@@ -309,20 +403,31 @@ object Phrase {
     * two renames leaves no base — phrase queries then refuse crisply and
     * the operator re-runs index-pos (or restores `base.trash`).
     */
-  def foldPosindex(spark: SparkSession, io: TableIO, posRoot: String,
-                   reader: IndexReader): Unit = {
-    import spark.implicits._
+  def foldPosindex(spark: SparkSession, io: TableIO,
+                   posRoot: String): Unit = {
     // the same single-flight lock the sync jobs take: a concurrent sync
     // could otherwise adopt a fresh delta while we fold — which we would
     // then delete unfolded. Only the dirs ENUMERATED here are deleted.
     val release = io.acquireLock("compact-pos")
-    try foldLocked(spark, io, posRoot, reader) finally release()
+    try foldLocked(spark, io, posRoot) finally release()
   }
 
-  private def foldLocked(spark: SparkSession, io: TableIO, posRoot: String,
-                         reader: IndexReader): Unit = {
+  /** The fold body — caller MUST hold the root's single-flight lock
+    * (foldPosindex takes it; SyncJob's publish stage already holds it
+    * when auto-folding). The index snapshot is resolved HERE, under the
+    * lock: a reader constructed before the lock could predate a
+    * concurrent publish, and the fold would then join that publish's
+    * delta against a stale docs table (new docs dropped, updated docs
+    * doubled) and DELETE the delta — permanent data loss. Deltas stamped
+    * past the under-lock snapshot are left on disk untouched (none can
+    * exist while the lock is held, but a crisp skip beats a delete).
+    */
+  private[graft] def foldLocked(spark: SparkSession, io: TableIO,
+                                posRoot: String): Unit = {
     import spark.implicits._
-    val srcs = sources(spark, io, posRoot)
+    val reader = new IndexReader(spark, io.root)
+    val all = sources(spark, io, posRoot)
+    val srcs = all.head +: all.tail.filter(_.stamp <= reader.version)
     val blocks = srcs.map { s =>
       spark.read.schema(posBlockSchema).parquet(s.dir)
         .withColumn("stamp", lit(s.stamp))

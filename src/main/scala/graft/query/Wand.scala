@@ -216,6 +216,8 @@ object Wand extends Serializable {
     def threshold: Double =
       if (heap.size < k) Double.NegativeInfinity else heap.peek().score
 
+    def size: Int = heap.size
+
     def insert(docId: Long, score: Double): Unit = {
       if (heap.size < k) heap.add(Hit(docId, score))
       else if (score > heap.peek().score ||

@@ -319,6 +319,13 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
       throw new IllegalStateException(s"moveDir: rename $src -> $dst failed")
   }
 
+  /** Child directory names under a path (empty when absent). */
+  def listDirNames(path: String): Seq[String] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   /** Total bytes under a path — used by tests asserting the O(delta)
     * write property of incremental syncs.
     */

@@ -407,6 +407,19 @@ object SyncJob {
       if (io.exists(stagedPos) ||
           io.exists(s"${io.root}/posindex/delta/$batchId"))
         io.moveDir(stagedPos, s"${io.root}/posindex/delta/$batchId")
+      // auto-fold the posindex at the same threshold segment compaction
+      // uses (the reference cleans up its processed artifacts after
+      // success, destinationManager.js:228-229) — without it, a
+      // deployment that never runs compact-pos degrades phrase queries
+      // linearly in batch count. We already hold the root's single-flight
+      // lock, so foldLocked is called directly; the fold resolves the
+      // just-published version as its snapshot.
+      timed(batchId, "publish.posFold") {
+        val deltaRoot = s"${io.root}/posindex/delta"
+        if (io.exists(s"${io.root}/posindex/base") && io.exists(deltaRoot) &&
+            io.listDirNames(deltaRoot).size >= Tables.compactThreshold)
+          graft.query.Phrase.foldLocked(spark, io, s"${io.root}/posindex")
+      }
       val millis = System.currentTimeMillis() - t0
       // lineage rides on the batch's own segment — O(delta), the rest of
       // the index is untouched by this batch

@@ -143,6 +143,16 @@ class PhraseSpec extends SparkTestBase {
       assert(resident < totalPositions / 20,
         s"cursors held $resident positions resident of $totalPositions " +
           "total — not streaming")
+      // match-tuple residency: with bucketBits=1 one bucket holds
+      // thousands of "of the" matches, but the scoring path must buffer
+      // only its bounded heap + flush run (O(k)), never the bucket's
+      // matches (the r4 shape did ms.toArray.sortBy — O(bucket) resident)
+      val matchCount = oraclePhraseOver(rows, "of the", Int.MaxValue).length
+      assert(matchCount > 3000, s"corpus too small: $matchCount matches")
+      val mres = Phrase.maxResidentMatches.get()
+      assert(mres > 0)
+      assert(mres <= 2L * 10 + 1,
+        s"scoring buffered $mres match tuples of $matchCount — not O(k)")
     } finally {
       prev match {
         case Some(v) => sys.props("graft.docid.bucketBits") = v
@@ -207,9 +217,20 @@ class PhraseSpec extends SparkTestBase {
     phrase("the the", live2)
 
     // fold: base + deltas collapse to ONE live base stamped with the
-    // current version; answers unchanged, deltas gone
-    Phrase.foldPosindex(spark, io, s"$root/posindex",
-      new IndexReader(spark, root))
+    // current version; answers unchanged, deltas gone. Before folding,
+    // stash a copy of one delta dir to simulate a crash-between-renames
+    // later (fold swaps the base, then deletes consumed deltas — a crash
+    // between the two leaves a delta subsumed by the new base).
+    val deltaNames = io.listDirNames(s"$root/posindex/delta")
+    assert(deltaNames.nonEmpty)
+    val lingering = deltaNames.head
+    val fsPre = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fsPre,
+      new org.apache.hadoop.fs.Path(s"$root/posindex/delta/$lingering"),
+      fsPre, new org.apache.hadoop.fs.Path(s"$root/posindex/delta-stash"),
+      false, spark.sparkContext.hadoopConfiguration)
+    Phrase.foldPosindex(spark, io, s"$root/posindex")
     assert(Phrase.sources(spark, io, s"$root/posindex").size == 1,
       "fold must leave a single base source")
     assert(Positional.builtFrom(spark, s"$root/posindex/base")
@@ -219,6 +240,19 @@ class PhraseSpec extends SparkTestBase {
     assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 7", 10,
       new IndexReader(spark, root)).isEmpty,
       "folded base must not resurrect out-stamped entries")
+
+    // crashed fold: restore the consumed delta (as if the fold died
+    // between the base swap and the delta deletes). Its stamp <= the new
+    // base's stamp, so sources() must drop it as subsumed — a doc must
+    // NOT double-count via the lingering delta + the folded base
+    fsPre.rename(new org.apache.hadoop.fs.Path(s"$root/posindex/delta-stash"),
+      new org.apache.hadoop.fs.Path(s"$root/posindex/delta/$lingering"))
+    assert(Phrase.sources(spark, io, s"$root/posindex").size == 1,
+      "a delta subsumed by the base must be dropped (crashed-fold healing)")
+    phrase("document 9999", live2)
+    phrase("the the", live2)
+    fsPre.delete(
+      new org.apache.hadoop.fs.Path(s"$root/posindex/delta/$lingering"), true)
 
     // coverage gap: a batch synced with the posindex base REMOVED has no
     // delta — phrase must refuse crisply, not silently miss docs
@@ -238,5 +272,55 @@ class PhraseSpec extends SparkTestBase {
         new IndexReader(spark, root))
     }
     assert(e.getMessage.contains("does not cover"), e.getMessage)
+  }
+
+  test("posindex deltas auto-fold at the compaction threshold") {
+    // the dict-chain / segment rule mirrored: a deployment that never
+    // runs compact-pos must not degrade phrase reads linearly in batch
+    // count — SyncJob's publish stage folds when delta dirs reach the
+    // threshold (it already holds the single-flight lock)
+    val prev = sys.props.get("graft.compact.segments")
+    sys.props("graft.compact.segments") = "3"
+    try {
+      val root = tmpDir("graft-posautofold")
+      val io = new TableIO(spark, root)
+      val M = 200
+      def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+      SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(M)), ts(M))
+      val v0 = io.currentVersion().get
+      Positional.build(spark, spark.createDataset(Corpus.localRows(M)),
+        s"$root/posindex", io.currentVersion())
+      (1 to 5).foreach { r =>
+        val all = Corpus.localRows(M + 5 * r).zipWithIndex.map { case (p, i) =>
+          if (i < M + 5 * (r - 1)) p
+          else p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(40L * M + i)))
+        }
+        SyncJob.run(spark, io, spark.createDataset(all), ts(50L * M + r))
+        val nDeltas = io.listDirNames(s"$root/posindex/delta").size
+        assert(nDeltas < 3,
+          s"after sync $r: $nDeltas posindex deltas — auto-fold missing")
+      }
+      // a fold ran: the base is stamped past the initial version
+      val stamp = Positional.builtFrom(spark, s"$root/posindex/base").get
+      assert(stamp > v0, s"base stamp $stamp not advanced past $v0")
+      // and phrase answers over the final live set stay exact
+      val live = Corpus.localRows(M + 25).zipWithIndex.map { case (p, i) =>
+        if (i < M + 20) p
+        else p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(40L * M + i)))
+      }
+      val reader = new IndexReader(spark, root)
+      val got = Phrase.topKLive(spark, io, s"$root/posindex",
+        s"document ${M + 22}", 10, reader).toSeq.map(h => (h.docId, h.score))
+      // oracle over the live rows; texts are keyed by url index so the
+      // ts rewrite above does not change content
+      val want = oraclePhraseOver(live, s"document ${M + 22}", 10)
+        .map(h => (h.docId, h.score))
+      assert(got == want, "auto-folded posindex diverged")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.compact.segments") = v
+        case None => sys.props.remove("graft.compact.segments")
+      }
+    }
   }
 }
