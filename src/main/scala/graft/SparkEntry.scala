@@ -517,7 +517,10 @@ object SparkEntry {
       .select(col("doc_id"),
         explode(split(col("text"), " ")).as("term")).distinct()
     val sizes = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = broadcast(cand)
+    // candidates are ≪ corpus by design, but a near-dup-heavy crawl can
+    // make them O(corpus) — size-adapt like every other delta-derived
+    // set (the count is one cheap job on the persisted candidate frame)
+    val inter = graft.sync.Tables.maybeBroadcast(cand, cand.count())
       .join(tk.select(col("doc_id").as("d1"), col("term")), Seq("d1"))
       .join(tk.select(col("doc_id").as("d2"), col("term")), Seq("d2", "term"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))

@@ -157,17 +157,29 @@ object SyncJob {
     // would manufacture one full published batch per empty chunk across
     // any idle gap (and an epoch-0 initial watermark would chunk from
     // 1970)
-    val minNew = Option(pages
+    val newRows = pages
       .filter($"warc_ts" > new Timestamp(wm) && $"warc_ts" <= batchTs)
+    val minNew = Option(newRows
       .agg(min($"warc_ts")).head().getTimestamp(0))
       .map(_.getTime - 1).getOrElse(return Seq.empty)
     val lo = math.max(wm, minNew)
     if (hi <= lo) return Seq.empty
-    val interior = Range.Long(lo + chunkMs, hi, chunkMs)
-    val bounds = interior :+ hi
+    // chunk bounds come from the window's ACTUAL timestamp distribution
+    // (one narrow ts-column scan: the distinct chunk buckets that hold
+    // rows) — a fixed arithmetic range would publish one full no-op
+    // batch per empty chunk across any in-window gap (a week-long hole
+    // inside a crawl backfill). Chunk i covers (lo+i·w, lo+(i+1)·w];
+    // the collected set is bounded by the number of NON-EMPTY chunks.
+    val occupied = newRows
+      .select(floor((unix_millis($"warc_ts") - lo - 1) / chunkMs).as("c"))
+      .distinct().as[Long].collect().sorted
+    val bounds = occupied.map(i => math.min(lo + (i + 1) * chunkMs, hi))
+    // the final chunk publishes at the caller's overall bound (trailing
+    // empty space folds into it — same coverage, no extra batch)
+    val boundsAdj = bounds.init :+ hi
     // every chunk — including the initial one — sizes its fwd adaptively:
     // chunks are deliberately small, the 256-dir ceiling write is not
-    bounds.map(t =>
+    boundsAdj.toSeq.map(t =>
       run(spark, io, pages, new Timestamp(t), resource, fwdAdaptive = true))
   }
 

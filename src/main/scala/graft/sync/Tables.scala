@@ -386,6 +386,26 @@ object Tables {
     io.writeParquet(Seq(stats).toDF(), s"${io.versionDir(ver)}/stats")
   }
 
+  /** Previously indexed rows among `affected` (docId column only) — the
+    * append path's pure-append short-circuit probe. Reads the docId
+    * column of ONLY the affected docId buckets: each segment's fwd is
+    * path-pruned at its recorded width, so the probe costs
+    * O(corpus · min(1, |affected buckets| / 2^bits)) narrow bytes, never
+    * a full docs/fwd scan — the last O(corpus) read in the append path
+    * (fwd rows mirror docs rows segment-for-segment, so probing fwd is
+    * equivalent and reuses the bucket layout). LsmSpec asserts the file
+    * set and the byte bound.
+    */
+  private[graft] def existingAffected(spark: SparkSession, io: TableIO,
+                                      segments: Seq[String],
+                                      affected: DataFrame,
+                                      affectedCount: Long): DataFrame = {
+    import spark.implicits._
+    readFwdPruned(spark, io, segments, affected)
+      .select($"docId")
+      .join(maybeBroadcast(affected, affectedCount), Seq("docId"), "left_semi")
+  }
+
   // ---- append (O(delta) incremental sync) ------------------------------
 
   /** Append a delta segment (and/or a purge) as a new version without
@@ -433,17 +453,16 @@ object Tables {
 
     // killed = previously-live rows of affected docIds: their term stats
     // leave the dict, their doclen leaves the corpus stats. A narrow
-    // pre-check on the docs tables' docId column decides whether the
-    // (wider) fwd lookup is needed at all — a pure-append batch (new urls
-    // only, the crawl steady state) skips it entirely; an update batch
-    // opens ONLY the affected docId buckets of fwd (path-level pruning),
-    // so the heavy tfs column is read O(affected-buckets), not O(corpus).
+    // bucket-pruned pre-check on fwd's docId column decides whether the
+    // (wider) tfs lookup is needed at all — a pure-append batch (new urls
+    // only, the crawl steady state) skips it after reading only the
+    // affected buckets' docId bytes; an update batch then opens the same
+    // buckets' heavy tfs column — both reads O(affected-buckets), never
+    // O(corpus).
     val tombsDf = old.tombstones.toDF("t_docId", "t_before")
-    val nExisting = sub("existingCheck") { spark.read
-      .parquet(old.segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
-      .select($"docId")
-      .join(maybeBroadcast(affected, affectedCount), Seq("docId"), "left_semi")
-      .count() }
+    val nExisting = sub("existingCheck") {
+      existingAffected(spark, io, old.segments, affected, affectedCount)
+        .count() }
     val killed = (
       if (nExisting == 0)
         spark.emptyDataset[(Long, String, Int, Map[String, Int])]

@@ -346,6 +346,30 @@ class LsmSpec extends SparkTestBase {
     val deltaSeg = segs2.filterNot(_ == seg1).head
     assert(graft.sync.Tables.fwdBitsOf(io, deltaSeg) == 0,
       "a 10-row delta must not pay a 256-dir bucketed write")
+
+    // the append pre-check (existing-docId probe) is bucket-pruned too:
+    // its scan lists ONLY the affected fb= dirs of the corpus-scale
+    // segment (plus the tiny flat delta segment, read whole by design) —
+    // never every segment's docs/fwd docId column (the last O(corpus)
+    // read the r4 append path still had)
+    val affDf = spark.createDataset(affectedIds).toDF("docId")
+    val pre = graft.sync.Tables.existingAffected(spark, io, segs2, affDf,
+      affectedIds.size.toLong)
+    val scanFiles = pre.inputFiles.filter(_.contains(s"/fb="))
+    assert(scanFiles.nonEmpty, "pre-check lists no bucketed files")
+    assert(scanFiles.forall(f => fbSet.exists(fb => f.contains(s"/fb=$fb/"))),
+      s"pre-check scans unaffected buckets:\n${scanFiles.mkString("\n")}")
+    assert(!pre.inputFiles.exists(_.contains("/docs/")),
+      "pre-check must not scan docs dirs")
+    // byte bound: the bucketed segment contributes only affected buckets
+    val preBytes = fbs.map(fb => io.dirBytes(s"$fwdBase/fb=$fb")).sum +
+      io.dirBytes(s"${io.segmentDir(deltaSeg)}/fwd")
+    val corpusBytes = segs2.map(s => io.dirBytes(s"${io.segmentDir(s)}/fwd")).sum +
+      segs2.map(s => io.dirBytes(s"${io.segmentDir(s)}/docs")).sum
+    assert(preBytes < corpusBytes / 10,
+      s"pre-check may read $preBytes bytes vs $corpusBytes corpus — not pruned")
+    // and the probe is exact: every affected id exists (10 updated docs)
+    assert(pre.select("docId").distinct().count() == affectedIds.size.toLong)
   }
 
   test("query with a dict-dead term (df hit 0 under churn) must not crash") {

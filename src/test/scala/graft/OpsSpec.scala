@@ -288,6 +288,40 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("chunked backfill skips empty interior chunks (in-window gap)") {
+    // 200 rows, then a ~half-hour hole, then 200 more: with 300s chunks
+    // the hole spans ~5 empty chunks — each would previously publish a
+    // full no-op batch (watermark scan, empty segment, manifest, GC)
+    val early = Corpus.localRows(200)
+    val late = Corpus.localRows(400).drop(200).map { p =>
+      val i = p.url.split("/").last.toLong
+      p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(i + 2000L)))
+    }
+    val rows = early ++ late
+    val root = tmpDir("graft-chunkgap")
+    val io = new TableIO(spark, root)
+    val results = SyncJob.runChunked(spark, io, spark.createDataset(rows),
+      ts(2500), chunkMs = 300 * 1000L)
+    assert(results.map(_.deltaRows).sum == 400)
+    assert(results.forall(_.deltaRows > 0),
+      s"empty interior chunks published: ${results.map(_.deltaRows)}")
+    // 400 rows at 1s intervals in two runs → ~2-3 occupied chunks, never
+    // the ~9 a gap-blind arithmetic range would produce
+    assert(results.size <= 4, s"too many chunks: ${results.size}")
+    // resume behavior unchanged: a rerun is a published no-op
+    val rerun = SyncJob.runChunked(spark, io, spark.createDataset(rows),
+      ts(2500), chunkMs = 300 * 1000L)
+    assert(rerun.map(_.deltaRows).sum == 0)
+    // and the result equals a one-shot sync of the same rows
+    val rootOne = tmpDir("graft-chunkgap-oneshot")
+    SyncJob.run(spark, new TableIO(spark, rootOne),
+      spark.createDataset(rows), ts(2500))
+    val got = new graft.query.IndexReader(spark, root)
+    val want = new graft.query.IndexReader(spark, rootOne)
+    assert(got.stats.n == want.stats.n && got.stats.avgdl == want.stats.avgdl)
+    assert(got.topK("document", 10).toSeq == want.topK("document", 10).toSeq)
+  }
+
   test("nested last-batches rollup: per-resource + per-partition children") {
     val root = tmpDir("graft-nestedfeed")
     val io = new TableIO(spark, root)
