@@ -127,16 +127,41 @@ object Bench {
       catch { case _: Exception => () }
     }
     spark.range(100000).selectExpr("sum(id * 3)").collect()
-    val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-      }
-      queryTimes(name) = sec
+    // the r4 postmortem: the official record regressed 2.5× in a host
+    // noise window and could not attribute it from within the record —
+    // the scale forks carried CPU + bandwidth probes, the query section
+    // did not. Now: probes bracket the loop (a wave shows as a CPU-probe
+    // inflation or a bandwidth dip vs the session's best), and each
+    // query is the MIN OF 2 passes (sub-second each when quiet; one
+    // steal spike cannot poison both)
+    val qProbe1 = BenchScale.probeSec()
+    val qBw1 = BenchScale.bandwidthGBs()
+    // two FULL passes over the sorted list (not two back-to-back runs per
+    // query): several dedup queries share (session,dir)-keyed persisted
+    // pipeline caches, and a per-query immediate rerun would measure a
+    // cache hit, not the operator. Clearing the caches before each pass
+    // makes the two passes like-for-like (within a pass, sharing behaves
+    // exactly as a production pipeline run); min per query.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passTimes: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+      SparkEntry.clearQueryCaches()
+      names.map { case (name, fn) =>
+        name -> time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+        }._2
+      }.toMap
     }
+    val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.foreach { case (name, _) =>
+      queryTimes(name) = passTimes.map(_(name)).min
+    }
+    val qProbe2 = BenchScale.probeSec()
+    val qBw2 = BenchScale.bandwidthGBs()
+    System.err.println(f"[bench] driver-query probes: cpu $qProbe1%.2f/" +
+      f"$qProbe2%.2f s, bw $qBw1%.0f/$qBw2%.0f GB/s")
     val total = queryTimes.values.sum
 
     // ---- 2. index build in CLEAN FORKED JVMs ---------------------------
@@ -293,6 +318,9 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val extra =
+      f""""driver_query_probes":{"cpu_sec":[$qProbe1%.2f,$qProbe2%.2f],""" +
+      f""""bw_gbs":[$qBw1%.1f,$qBw2%.1f],"passes_per_query":2,""" +
+      """"aggregation":"min"},""" +
       f""""index_build":{"docs":$benchDocs,"build_sec_primary":$build32%.2f,""" +
       f""""docs_per_sec_primary":${benchDocs / build32}%.0f,""" +
       f""""incremental_delta_docs":$deltaN,"incremental_sync_sec":$incSec%.2f,""" +
@@ -327,7 +355,7 @@ object Bench {
 
     writeBaseline(sfDir, cpus, benchDocs, scaleDocs, total, queryTimes.toMap,
       build32, incSec, deltaN, pairLo, buildLo, buildHi, eff, runs, p50, p95,
-      runs28, eff28)
+      runs28, eff28, Seq(qProbe1, qProbe2), Seq(qBw1, qBw2))
   }
 
   private def writeBaseline(sfDir: String, cpus: Int, docs: Long,
@@ -335,7 +363,8 @@ object Bench {
       incSec: Double, deltaN: Long,
       pairLo: Int, bLo: Double, bHi: Double,
       eff: Double, runs: Seq[ScaleRun], p50: Double, p95: Double,
-      runs28: Seq[ScaleRun] = Seq.empty, eff28: Double = 0.0): Unit = {
+      runs28: Seq[ScaleRun] = Seq.empty, eff28: Double = 0.0,
+      qProbes: Seq[Double] = Seq.empty, qBw: Seq[Double] = Seq.empty): Unit = {
     val dir = new java.io.File("BENCH")
     dir.mkdirs()
     val md = new StringBuilder
@@ -406,6 +435,14 @@ object Bench {
       md.append("steady bandwidth would be a real scaling finding.\n\n")
     }
     md.append("## Driver query wall times (sf dir, all SparkEntry queries)\n\n")
+    md.append("Each query is the MIN of 2 passes (one steal spike cannot ")
+    md.append("poison both), and the loop is bracketed by the same CPU + ")
+    md.append("bandwidth probes the scale forks carry — a noisy window is ")
+    md.append("attributable from within the record (CPU probe inflated vs ")
+    md.append("~0.25 s unloaded, or a bandwidth dip vs the session best).\n\n")
+    if (qProbes.nonEmpty)
+      md.append(f"CPU probes ${qProbes.map(p => f"$p%.2f").mkString("/")} s; " +
+        f"bandwidth probes ${qBw.map(b => f"$b%.0f").mkString("/")} GB/s.\n\n")
     md.append(f"Total: $total%.2f s\n\n| query | sec |\n|---|---|\n")
     qt.toSeq.sortBy(_._1).foreach { case (k, v) =>
       md.append(f"| $k | $v%.3f |\n")

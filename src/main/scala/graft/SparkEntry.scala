@@ -308,8 +308,8 @@ object SparkEntry {
     // fetch deep (k=200) so the round-to-4-decimals re-rank below can
     // re-break ties the same way the SQL oracle does before the limit
     val hits = reader.search("spark stream vector", 200)
-    // hits are collected — the ephemeral index can go (tmpfs-resident)
-    reader.dict.unpersist()
+    // hits are collected — the ephemeral index can go (tmpfs-resident;
+    // the reader holds no Spark-side cache, its dict cache is driver-heap)
     io.deleteDir(root)
     hits.map(h => (h.url.stripPrefix("doc://").toLong,
         BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP)

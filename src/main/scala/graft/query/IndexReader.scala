@@ -51,15 +51,49 @@ class IndexReader(spark: SparkSession, root: String) {
   val index: Dataset[IndexBlock] =
     spark.read.schema(blockSchema).parquet(segPaths("index"): _*).as[IndexBlock]
 
-  /** Dict, cached in memory (lazily, on the first probe): the dict is
-    * O(vocabulary) — tiny next to the index — and every query starts
-    * with a probe of it, so repeated queries must not re-scan parquet.
-    * The view folds the version's dict chain (one full link + the
-    * appends' signed deltas); a term-filtered probe pushes its predicate
-    * below the fold, so even uncached probes stay pruned scans.
+  /** The folded dict view (one full link + the appends' signed deltas).
+    * NOT materialized or persisted: queries go through [[probeDict]]'s
+    * bounded term cache instead — the r4 shape persisted the WHOLE
+    * folded vocabulary in memory, which cost the first probe an
+    * O(vocabulary) materialization and every later probe an in-memory
+    * scan of the full cached vocabulary; both linear costs are gone
+    * (the BM25 p50/p95 drift the r4 verdict flagged). A term-filtered
+    * probe of this view pushes its predicate below the fold, so cache
+    * misses stay pruned scans (PlanSpec, chain depths 2 and 3).
     */
   val dict: DataFrame =
-    graft.sync.Tables.dictView(spark, io, io.readDictChain(version)).persist()
+    graft.sync.Tables.dictView(spark, io, io.readDictChain(version))
+
+  private case class DictEntry(df: Long, files: Seq[String])
+
+  /** Bounded driver-side term→dict-entry cache (the Lucene
+    * term-dictionary-cache analog; safe because a reader is a snapshot
+    * of one immutable version). Misses — including NEGATIVE results,
+    * absent terms are common — fill from one pruned probe per query;
+    * repeated terms cost nothing. LRU-bounded so a scan over a huge
+    * vocabulary cannot accumulate on the driver.
+    */
+  private val DictCacheMax = 65536
+  private val dictCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[DictEntry]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[DictEntry]]): Boolean =
+        size > DictCacheMax
+    })
+
+  /** (term, df, files) for each query term present in the dict. */
+  private def probeDict(terms: Seq[String]): Seq[(String, Long, Seq[String])] = {
+    val missing = terms.filterNot(dictCache.containsKey)
+    if (missing.nonEmpty) {
+      val rows = dict.filter($"term".isin(missing: _*))
+        .select($"term", $"df", $"files").collect()
+      val found = rows.iterator.map(r => r.getString(0) ->
+        DictEntry(r.getLong(1), r.getSeq[String](2))).toMap
+      missing.foreach(t => dictCache.put(t, found.get(t)))
+    }
+    terms.flatMap(t =>
+      Option(dictCache.get(t)).flatten.map(e => (t, e.df, e.files)))
+  }
   val stats: CorpusStats = {
     val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
     CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),
@@ -135,16 +169,15 @@ class IndexReader(spark: SparkSession, root: String) {
     if (terms.isEmpty || k <= 0) return Array.empty
     val n = stats.n
     val avgdl = stats.avgdl
+    val t0 = System.nanoTime()
 
     // 1. dict probe: exact df (maintained under churn) + file pointers
-    val dictRows = dict
-      .filter($"term".isin(terms.toSeq: _*))
-      .select($"term", $"df", $"files")
-      .collect()
+    val dictRows = probeDict(terms)
+    val tDict = System.nanoTime()
     if (dictRows.isEmpty) return Array.empty
-    val dfMap = dictRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfMap = dictRows.map(e => e._1 -> e._2).toMap
     val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
-    val termFiles = dictRows.flatMap(_.getSeq[String](2)).distinct
+    val termFiles = dictRows.flatMap(_._3).distinct
 
     // 2. targeted block scan: only the terms' files (fall back to the
     // full segment union if the dict carries no pointers); explicit
@@ -167,12 +200,25 @@ class IndexReader(spark: SparkSession, root: String) {
     // distributed path — no wasted probe job on stopword queries
     val minBlocks = dfMap.valuesIterator
       .map(df => (df + 127) / 128).sum
+    // ... and an UPPER bound decides how to fetch: a (term, bucket,
+    // segment) group of n postings encodes into <= n/128 + 1 blocks, so
+    // when even the upper bound fits the driver budget the blocks are
+    // collected in ONE fully parallel job. (The r4 shape always probed
+    // via limit(N+1).collect(), and CollectLimitExec executes partitions
+    // in incremental SERIAL rounds — 1, 4, 16, ... — so each query paid
+    // several job round-trips, growing with segment count: the measured
+    // r4 BM25 drift. The limit probe survives only for the rare gray
+    // zone where the bounds straddle the budget.)
+    val maxBlocks = minBlocks + dfMap.valuesIterator
+      .map(df => math.min(df, (1L << bucketBits) * segments.size)).sum
     // the local (driver WAND) path requires the dead Map; a distributed-
     // only tombstone set forces the per-bucket path for correctness
     val localOk = minBlocks <= LocalEvalMaxBlocks && !deadDistributed
     val probe: Array[IndexBlock] =
       if (!localOk) Array.empty
+      else if (maxBlocks <= LocalEvalMaxBlocks) filtered.collect()
       else filtered.limit(LocalEvalMaxBlocks + 1).collect()
+    val tScan = System.nanoTime()
     val candidates: Array[Hit] =
       if (localOk && probe.length <= LocalEvalMaxBlocks) {
         if (probe.isEmpty) return Array.empty
@@ -233,6 +279,14 @@ class IndexReader(spark: SparkSession, root: String) {
             }
           }.collect()
       }
+    val tEnd = System.nanoTime()
+    IndexReader.lastProfile = IndexReader.QueryProfile(
+      path = if (localOk && probe.length <= LocalEvalMaxBlocks) "local"
+             else if (!deadDistributed) "perBucket" else "cogroup",
+      dictSec = (tDict - t0) / 1e9,
+      scanSec = (tScan - tDict) / 1e9,
+      scoreSec = (tEnd - tScan) / 1e9,
+      totalSec = (tEnd - t0) / 1e9)
     candidates
       .sortBy(h => (-h.score, h.docId))
       .take(k)
@@ -244,8 +298,7 @@ class IndexReader(spark: SparkSession, root: String) {
   def filesForQuery(q: String): Seq[String] = {
     val terms = Bm25.queryTerms(q)
     if (terms.isEmpty) return Seq.empty
-    dict.filter($"term".isin(terms.toSeq: _*))
-      .select($"files").collect().flatMap(_.getSeq[String](0)).distinct.toSeq
+    probeDict(terms.toSeq).flatMap(_._3).distinct
   }
 
   /** Top-k joined back to document metadata, with ranks. */
@@ -263,4 +316,14 @@ class IndexReader(spark: SparkSession, root: String) {
       ScoredDoc(i + 1, h.docId, url, h.score)
     }
   }
+}
+
+object IndexReader {
+  /** Stage wall times of the most recent [[IndexReader.topK]] call on
+    * this driver — a profiling aid (Bench latency attribution, the
+    * BM25-drift investigations), not part of the query API.
+    */
+  case class QueryProfile(path: String, dictSec: Double, scanSec: Double,
+                          scoreSec: Double, totalSec: Double)
+  @volatile var lastProfile: QueryProfile = _
 }
