@@ -86,13 +86,15 @@ object ExplainDump {
         "The dict is an LSM chain — a full link plus signed per-append " +
           "deltas. A query's probe filters on `term`, the fold's " +
           "grouping key, so Catalyst pushes the IN predicate below the " +
-          "HashAggregate into ALL THREE parquet scans: the probe stays " +
-          "a pruned scan at any chain length (an incremental sync " +
+          "HashAggregate into the scan covering all three links' dirs: " +
+          "the probe stays a pruned scan at any chain length (an " +
+          "incremental sync " +
           "therefore never rewrites the O(vocabulary) dict; PlanSpec " +
           "gates the same property at depth 3).",
         {
-          // the IndexReader above persisted its dict view; drop the cache
-          // so this dump shows the real scan path, not InMemoryTableScan
+          // defensive: make sure no leftover cache masks the scan path
+          // (readers keep only a driver-heap term cache — dict probes
+          // always hit parquet on a miss, which is what this dump shows)
           spark.catalog.clearCache()
           fmt(graft.sync.Tables.dictView(spark, io,
               io.readDictChain(io.currentVersion().get))
