@@ -274,6 +274,57 @@ class PhraseSpec extends SparkTestBase {
     assert(e.getMessage.contains("does not cover"), e.getMessage)
   }
 
+  test("stale reader: concurrent publish/fold can never double-count") {
+    // ADVICE r4 #3: a delta adopted AFTER a reader's snapshot (stamp >
+    // reader.version) used to let an UPDATED doc pass liveness for both
+    // its old source and the new delta — topKLive must answer the
+    // reader's snapshot exactly (new deltas excluded), and refuse
+    // crisply once a fold has consumed the old sources
+    val root = tmpDir("graft-posstale")
+    val io = new TableIO(spark, root)
+    val M = 300
+    val rows = Corpus.localRows(M)
+    def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(M))
+    Positional.build(spark, spark.createDataset(rows), s"$root/posindex",
+      io.currentVersion())
+    val stale = new IndexReader(spark, root) // snapshot V1
+
+    // doc 7 is rewritten by a later publish (delta stamped V2 > V1)
+    val updated = rows.map { p =>
+      if (p.url.split("/").last.toInt == 7)
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(7L + 20L * M)),
+          html = Corpus.html(8888L), text = Corpus.text(8888L))
+      else p
+    }
+    SyncJob.run(spark, io, spark.createDataset(updated), ts(22L * M))
+
+    // the stale reader answers ITS snapshot: old doc-7 content present
+    // exactly once, new content invisible — not a mix, never a double
+    val old7 = Phrase.topKLive(spark, io, s"$root/posindex", "document 7",
+      10, stale)
+    assert(old7.length == 1, s"expected the V1 doc once, got ${old7.length}")
+    assert(old7.head.docId == DocIds.docId(Corpus.url(7L)))
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 8888",
+      10, stale).isEmpty, "a post-snapshot delta leaked into a stale reader")
+    // a fresh reader sees the update
+    val fresh = new IndexReader(spark, root)
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 7",
+      10, fresh).isEmpty)
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 8888",
+      10, fresh).length == 1)
+
+    // after a fold (base stamped V2 > V1) the stale snapshot is
+    // unanswerable — refuse crisply, never silently answer V2
+    Phrase.foldPosindex(spark, io, s"$root/posindex")
+    val e = intercept[IllegalStateException] {
+      Phrase.topKLive(spark, io, s"$root/posindex", "document 7", 10, stale)
+    }
+    assert(e.getMessage.contains("newer"), e.getMessage)
+    assert(Phrase.topKLive(spark, io, s"$root/posindex", "document 8888",
+      10, new IndexReader(spark, root)).length == 1)
+  }
+
   test("posindex deltas auto-fold at the compaction threshold") {
     // the dict-chain / segment rule mirrored: a deployment that never
     // runs compact-pos must not degrade phrase reads linearly in batch
