@@ -208,25 +208,38 @@ object Tables {
     * per distinct width, each bounded by 2^bits rows.
     */
   def readFwdPruned(spark: SparkSession, io: TableIO, segments: Seq[String],
-                    affected: DataFrame): DataFrame = {
+                    affected: DataFrame,
+                    affectedCount: Long = -1L): DataFrame = {
     import spark.implicits._
     val segBits = segments.map(s => s -> fwdBitsOf(io, s))
-    val fbByBits: Map[Int, Seq[Int]] = segBits.map(_._2).filter(_ > 0).distinct
-      .map { bits =>
-        bits -> affected.select(fbExpr(bits).as("fb"))
-          .distinct().as[Int].collect().toSeq.sorted // bounded by 2^bits
+    // None = read the whole dir (every bucket affected): a batch with
+    // >= 4·2^bits affected ids touches essentially all buckets, so the
+    // distinct-collect job and the per-dir listing buy nothing — skip
+    // both (reading a superset of buckets is always correct, the
+    // downstream join filters; the caller passes its already-known
+    // count, -1 = unknown)
+    val fbByBits: Map[Int, Option[Seq[Int]]] =
+      segBits.map(_._2).filter(_ > 0).distinct.map { bits =>
+        if (affectedCount >= 4L * (1L << bits)) bits -> None
+        else {
+          val fbs = affected.select(fbExpr(bits).as("fb"))
+            .distinct().as[Int].collect().toSeq.sorted // bounded by 2^bits
+          bits -> (if (fbs.size == (1 << bits)) None else Some(fbs))
+        }
       }.toMap
     segBits.map { case (s, bits) =>
       val base = s"${io.segmentDir(s)}/fwd"
       val df =
         if (bits == 0) readFwdDir(spark, base).drop("fb")
-        else {
-          val dirs = fbByBits(bits).map(fb => s"$base/fb=$fb").filter(io.exists)
-          if (dirs.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FwdSchema)
-          else spark.read.schema(FwdSchema).option("basePath", base)
-            .parquet(dirs: _*).drop("fb")
+        else fbByBits(bits) match {
+          case None => readFwdDir(spark, base).drop("fb")
+          case Some(fbs) =>
+            val dirs = fbs.map(fb => s"$base/fb=$fb").filter(io.exists)
+            if (dirs.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FwdSchema)
+            else spark.read.schema(FwdSchema).option("basePath", base)
+              .parquet(dirs: _*).drop("fb")
         }
       df.withColumn("seg", lit(s))
     }.reduce(_.unionByName(_))
@@ -401,7 +414,7 @@ object Tables {
                                       affected: DataFrame,
                                       affectedCount: Long): DataFrame = {
     import spark.implicits._
-    readFwdPruned(spark, io, segments, affected)
+    readFwdPruned(spark, io, segments, affected, affectedCount)
       .select($"docId")
       .join(maybeBroadcast(affected, affectedCount), Seq("docId"), "left_semi")
   }
@@ -468,7 +481,7 @@ object Tables {
         spark.emptyDataset[(Long, String, Int, Map[String, Int])]
           .toDF("docId", "url", "doclen", "tfs")
       else {
-        readFwdPruned(spark, io, old.segments, affected)
+        readFwdPruned(spark, io, old.segments, affected, affectedCount)
           .select($"docId", $"url", $"doclen", $"tfs", $"seg")
           .join(maybeBroadcast(affected, affectedCount), Seq("docId"))
           .join(maybeBroadcast(tombsDf, old.tombstoneCount),
