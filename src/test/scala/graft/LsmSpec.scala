@@ -324,6 +324,18 @@ class LsmSpec extends SparkTestBase {
     assert(pruned == wantIds)
     assert(affectedIds.forall(pruned))
 
+    // the all-buckets shortcut (affectedCount ≥ 4·2^bits) skips the
+    // distinct-probe job and reads the whole dir — a correct SUPERSET
+    // (readFwdPruned's contract is "contains every affected bucket's
+    // rows"; every caller joins against the affected set afterwards)
+    val shortcut = graft.sync.Tables.readFwdPruned(spark, io, Seq(seg1),
+        spark.createDataset(affectedIds).toDF("docId"),
+        affectedCount = 4L << bits)
+      .select("docId").as[Long].collect().toSet
+    assert(shortcut == rows.map(p => graft.index.DocIds.docId(p.url)).toSet,
+      "shortcut read must return the whole segment")
+    assert(pruned.subsetOf(shortcut))
+
     // and the update batch that exercises this path stays exact
     val upd = rows.map { p =>
       val i = p.url.split("/").last.toLong
