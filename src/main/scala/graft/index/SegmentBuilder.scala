@@ -102,19 +102,25 @@ object SegmentBuilder extends Serializable {
   }
 
   /** Fail the batch if two urls hashed to the same docId (xxhash64
-    * collision). Exact distributed check over a 2-column pruned scan;
-    * returns the row count (piggybacked — same aggregation pass).
+    * collision). Exact distributed check over a 3-column pruned scan;
+    * returns (row count, doclen sum) piggybacked on the same aggregation
+    * pass — the merge stage's O(delta) stats arithmetic needs both, and
+    * collecting them here saves a whole Spark job per steady-state batch
+    * (fixed job overheads, not data volume, dominate small frequent
+    * replication batches).
     */
-  def checkCollisions(docsLike: org.apache.spark.sql.DataFrame): Long = {
-    val row = docsLike.select(col("docId"), col("url"))
-      .groupBy("docId").agg(countDistinct("url").as("u"))
-      .agg(count(lit(1)).as("n"), max(col("u")).as("maxu"))
+  def checkCollisions(docsLike: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val row = docsLike.select(col("docId"), col("url"), col("doclen"))
+      .groupBy("docId").agg(countDistinct("url").as("u"),
+        count(lit(1)).as("c"), sum(col("doclen")).as("dl"))
+      .agg(sum(col("c")).as("n"), max(col("u")).as("maxu"),
+        sum(col("dl")).as("dlsum"))
       .head()
-    val n = row.getLong(0)
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
     if (n > 0 && row.getLong(1) > 1)
       throw new IllegalStateException(
         "docId collision detected; widen keys to (docId, url) for this corpus")
-    n
+    (n, if (n == 0 || row.isNullAt(2)) 0L else row.getLong(2))
   }
 
   /** Postings → compressed blocks. Shuffles once on (term, bucket), sorts

@@ -351,9 +351,14 @@ object SyncJob {
       timed(batchId, "segment.docs") {
         io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
       }
-      val n = timed(batchId, "segment.collisions") {
+      val (n, dlSum) = timed(batchId, "segment.collisions") {
         SegmentBuilder.checkCollisions(io.readParquet(docsDir)) }
       io.writeSmallFile(s"${io.root}/staging/$batchId/delta_rows", n.toString)
+      // doclen sum rides along for the merge stage's O(delta) stats
+      // arithmetic (saves its deltaStats job; merge falls back to the
+      // aggregation if the file is missing, e.g. staging from an older
+      // build)
+      io.writeSmallFile(s"${io.root}/staging/$batchId/delta_dl", dlSum.toString)
       timed(batchId, "segment.blocks") {
         val blocks = SegmentBuilder.buildBlocks(
           SegmentBuilder.toPostings(analyzed), batchId)
@@ -391,7 +396,8 @@ object SyncJob {
           Tables.compactVersion(spark, io, o, batchId, staged, purgedDs)
         case Some(o) =>
           // steady state: O(delta) segment append + tombstones
-          Tables.appendVersion(spark, io, o, batchId, staged, purgedDs)
+          Tables.appendVersion(spark, io, o, batchId, staged, purgedDs,
+            purgedEmpty = purged.isEmpty)
       }
       cp.markDone(batchId, process, resource, "merge")
     }

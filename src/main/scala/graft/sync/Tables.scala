@@ -431,7 +431,8 @@ object Tables {
     */
   def appendVersion(spark: SparkSession, io: TableIO, old: IndexTables,
                     batchId: String, staged: Option[(String, String, String)],
-                    purged: Dataset[Long]): Unit = {
+                    purged: Dataset[Long],
+                    purgedEmpty: Boolean = false): Unit = {
     import spark.implicits._
     checkBucketBits(old)
     val seg = io.segmentDir(batchId)
@@ -447,22 +448,36 @@ object Tables {
     val deltaIds: DataFrame =
       if (hasDelta) io.readParquet(s"$seg/docs").select($"docId")
       else spark.emptyDataset[Long].toDF("docId")
-    // affected ids are O(batch): usually broadcastable, but a backfill-
-    // scale update/purge batch must not be forced through the driver —
-    // every join below size-adapts on the counted set (the count also
-    // feeds the O(delta) arithmetic, so it is not an extra pass at scale)
-    val affected = deltaIds.union(purged.toDF("docId")).distinct().persist()
-    val affectedCount = sub("affectedCount") { affected.count() }
 
-    // the delta's doc count + doclen sum and the delta dict ride on the
-    // written segment's pruned metadata columns
+    // the delta's doc count + doclen sum: the segment stage stashed both
+    // next to the staged dirs (its collision-check aggregation collects
+    // all three in one pass) — reuse them instead of re-aggregating the
+    // delta docs; fall back to the aggregation when resuming staging
+    // written by an older build
     val (deltaN, deltaDl) =
       if (!hasDelta) (0L, 0L)
-      else sub("deltaStats") {
-        val r = io.readParquet(s"$seg/docs")
-          .agg(count(lit(1)), sum($"doclen")).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      else (io.readSmallFile(s"${io.root}/staging/$batchId/delta_rows"),
+            io.readSmallFile(s"${io.root}/staging/$batchId/delta_dl")) match {
+        case (Some(n), Some(dl)) => (n.trim.toLong, dl.trim.toLong)
+        case _ => sub("deltaStats") {
+          val r = io.readParquet(s"$seg/docs")
+            .agg(count(lit(1)), sum($"doclen")).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
       }
+
+    // affected ids are O(batch): usually broadcastable, but a backfill-
+    // scale update/purge batch must not be forced through the driver —
+    // every join below size-adapts on the counted set. Delta docIds are
+    // unique within a segment (checkCollisions), so the purge-free
+    // steady-state batch needs neither the distinct nor the count job:
+    // affected IS the delta id set, sized deltaN.
+    val affected =
+      (if (purgedEmpty) deltaIds
+       else deltaIds.union(purged.toDF("docId")).distinct()).persist()
+    val affectedCount =
+      if (purgedEmpty) deltaN
+      else sub("affectedCount") { affected.count() }
 
     // killed = previously-live rows of affected docIds: their term stats
     // leave the dict, their doclen leaves the corpus stats. A narrow
@@ -489,22 +504,28 @@ object Tables {
           .select($"docId", $"url", $"doclen", $"tfs")
       }).persist()
     try {
-      // cross-batch xxhash64 collision check: a delta url landing on a
-      // previously indexed docId must be the SAME url (an update), else
-      // the tombstone would silently drop the old document
-      if (hasDelta) {
-        val nColl = killed
-          .join(io.readParquet(s"$seg/docs")
-            .select($"docId", $"url".as("new_url")), Seq("docId"))
-          .filter($"url" =!= $"new_url").count()
-        if (nColl > 0) throw new IllegalStateException(
-          s"docId collision across batches ($nColl urls); widen keys to " +
-            "(docId, url) for this corpus")
-      }
+      // killed stats + the cross-batch xxhash64 collision check in ONE
+      // job: a delta url landing on a previously indexed docId must be
+      // the SAME url (an update), else the tombstone would silently drop
+      // the old document. The left join against the delta's urls cannot
+      // duplicate killed rows (delta docIds are unique per segment), so
+      // the count/sum aggregates are unchanged by the fusion.
+      val kWithNew =
+        if (hasDelta)
+          killed.join(maybeBroadcast(io.readParquet(s"$seg/docs")
+              .select($"docId", $"url".as("new_url")), deltaN),
+            Seq("docId"), "left")
+        else killed.withColumn("new_url", lit(null).cast("string"))
       val kr = sub("killedStats") {
-        killed.agg(count(lit(1)), sum($"doclen")).head() }
+        kWithNew.agg(count(lit(1)), sum($"doclen"),
+          count(when($"new_url".isNotNull && $"url" =!= $"new_url", lit(1))))
+          .head() }
       val killedN = kr.getLong(0)
       val killedDl = if (kr.isNullAt(1)) 0L else kr.getLong(1)
+      val nColl = kr.getLong(2)
+      if (nColl > 0) throw new IllegalStateException(
+        s"docId collision across batches ($nColl urls); widen keys to " +
+          "(docId, url) for this corpus")
 
       // dict DELTA: ⊕ the delta segment's term stats ⊖ the killed docs',
       // written as ONE signed delta link appended to the dict chain —
@@ -554,11 +575,13 @@ object Tables {
           when($"isDelta".isNotNull, lit(batchId))
             .otherwise(lit(PurgeSentinel)).as("before"))
         .persist()
-      // O(batch) rows — counted before the anti-join so a backfill-scale
-      // batch falls back to a shuffle join instead of a driver broadcast
-      val newTombCount = sub("tombCount") { newTombRows.count() }
+      // O(batch) rows and a SUBSET of `affected` (killed ⊆ affected,
+      // revived ⊆ delta ids), so the already-known affectedCount is a
+      // safe size bound for the broadcast decision — no extra count job;
+      // over-estimating only trades a broadcast for a shuffle join on a
+      // backfill-scale batch, never a driver-squeezed broadcast
       val keptOld = old.tombstones.toDF()
-        .join(maybeBroadcast(newTombRows.select($"docId"), newTombCount),
+        .join(maybeBroadcast(newTombRows.select($"docId"), affectedCount),
           Seq("docId"), "left_anti")
       val allTombs = keptOld.unionByName(newTombRows).persist()
       val tombCount = allTombs.count()
