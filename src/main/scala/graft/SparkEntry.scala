@@ -338,30 +338,29 @@ object SparkEntry {
     *
     * Each shingle is hashed ONCE (md5 → 60-bit int) and the 32
     * permutations are affine transforms (aⱼ·x + bⱼ) mod p — the classic
-    * universal-hash MinHash — so the signature is one groupBy with 32
-    * min aggregates instead of a 32-way explode re-hashing every
-    * shingle. Constants stay < 2²² so products stay < 2⁵² (DuckDB BIGINT
-    * arithmetic is overflow-checked; both engines agree exactly).
+    * universal-hash MinHash — computed in one codegen'd pass per doc
+    * ([[graft.functions.MinHashSigsExpr]]). Constants stay < 2²² so
+    * products stay < 2⁵² (DuckDB BIGINT arithmetic is overflow-checked;
+    * both engines agree exactly); the SQL CTEs below are generated from
+    * the expression's own constants so the engines can never drift.
     */
-  private val MhP = 1073741789L // prime < 2^30
-  private def mhA(j: Int): Long = 976369L + j * 104729L
-  private def mhB(j: Int): Long = 188029L + j * 130363L
+  private val MhP = graft.functions.MinHashSigsExpr.P
+  private def mhA(j: Int): Long = graft.functions.MinHashSigsExpr.a(j)
+  private def mhB(j: Int): Long = graft.functions.MinHashSigsExpr.b(j)
 
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, greatest(length(text)-4, 1), 4)")).as("p"))
+    // 32 signature minima in ONE codegen'd pass per doc (the former
+    // per-shingle explode → md5 → conv → groupBy(32 mins) pipeline
+    // shuffled O(corpus-shingles) rows and dominated q_dedup_jaccard's
+    // wall time; the expression is bit-identical — ExpressionSpec —
+    // and the DuckDB oracle keeps the explicit CTE form)
+    val sig = t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(substring(text, p, 5)), 1, 15), 16, 10) as bigint)")
-          .as("base"))
-      .select(col("doc_id"), (col("base") % MhP).as("x"))
-    val mins = (0 until 32).map(j =>
-      min((lit(mhA(j)) * col("x") + lit(mhB(j))) % MhP).as(s"s$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        graft.functions.functions.minhash_sigs(col("text")).as("sig"))
     val bandCols = (0 until 8).map { bd =>
       struct(lit(bd).as("band"),
-        md5(concat_ws(":", lit(bd) +: (0 until 4).map(r => col(s"s${4 * bd + r}")): _*))
-          .as("bh"))
+        md5(concat_ws(":", lit(bd) +: (0 until 4).map(r =>
+          element_at(col("sig"), 4 * bd + r + 1)): _*)).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))

@@ -274,6 +274,89 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object MinHashSigsExpr {
+  /** Constants shared with the DuckDB oracle CTEs (SparkEntry generates
+    * the SQL from the same values, so they can never drift).
+    */
+  val P = 1073741789L // prime < 2^30
+  val NumPerms = 32
+  def a(j: Int): Long = 976369L + j * 104729L
+  def b(j: Int): Long = 188029L + j * 130363L
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** One pass per doc: 5-char shingles at stride 4 (code-POINT indexed,
+    * matching Spark `substring`/DuckDB `substr` character semantics),
+    * md5 per shingle, first 15 hex digits as bigint (= big-endian first
+    * 8 md5 bytes >>> 4) mod P, then 32 affine permutation minima —
+    * byte-identical to the explode → md5 → conv → groupBy(32 mins)
+    * column pipeline it replaces, without the O(shingles) row shuffle.
+    */
+  def sigs(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val md = digest.get()
+    // code point start offsets (UTF-16 units); cpStarts(n) = s.length
+    val nCp = s.codePointCount(0, s.length)
+    val mins = new Array[Long](NumPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    // sequence(1, greatest(nCp-4, 1), 4): 1-based shingle starts
+    val hi = math.max(nCp - 4, 1)
+    var p = 1
+    var off = 0 // UTF-16 offset of code point (p-1)
+    while (p <= hi) {
+      // shingle = code points [p-1, p+4) clipped to the string
+      val startOff = math.min(off, s.length)
+      val endOff =
+        if (p - 1 >= nCp) startOff
+        else s.offsetByCodePoints(startOff, math.min(5, nCp - (p - 1)))
+      md.reset()
+      val h = md.digest(s.substring(startOff, endOff)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits as a non-negative long (< 2^60)
+      var be = 0L
+      var i = 0
+      while (i < 8) { be = (be << 8) | (h(i) & 0xFFL); i += 1 }
+      val x = (be >>> 4) % P
+      var j = 0
+      while (j < NumPerms) {
+        val v = (a(j) * x + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      // advance 4 code points (stride), stopping at the string end
+      if (p + 4 <= nCp + 1)
+        off = s.offsetByCodePoints(off, math.min(4, nCp - (p - 1)))
+      p += 4
+    }
+    val out = new Array[Any](NumPerms)
+    var j = 0
+    while (j < NumPerms) { out(j) = mins(j); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** text → array<bigint> of 32 MinHash signature minima as one codegen'd
+  * pass per doc — replaces a per-shingle explode + md5 + 32-aggregate
+  * groupBy (an O(corpus-shingles) shuffle; the former pipeline cost
+  * ~5s at sf0.1 and was the bulk of q_dedup_jaccard's wall time). The
+  * DuckDB oracle keeps the explicit CTE form; only results must match.
+  */
+case class MinHashSigs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigsExpr.sigs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigsExpr.sigs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object functions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -287,4 +370,5 @@ object functions {
   def lsh_bits(v: Column, from: Int, num: Int): Column =
     col(LshBits(expr(v), from, num))
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
+  def minhash_sigs(text: Column): Column = col(MinHashSigs(expr(text)))
 }

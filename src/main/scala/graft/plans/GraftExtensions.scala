@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, ExtractText, LshBits, SimHash64, TermStats}
+import graft.functions.{CosineSim, ExtractText, LshBits, MinHashSigs, SimHash64, TermStats}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * Catalyst expressions as SQL functions so any SQL-surface user can call
@@ -46,7 +46,11 @@ object GraftExtensions {
     ("simhash64",
       info("simhash64",
         "_FUNC_(text) - struct(simhash_hi, simhash_lo): 64-bit tf-weighted SimHash"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("minhash_sigs",
+      info("minhash_sigs",
+        "_FUNC_(text) - array<bigint> of 32 MinHash signature minima"),
+      (es: Seq[Expression]) => MinHashSigs(es.head)))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

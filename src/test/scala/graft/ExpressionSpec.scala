@@ -117,6 +117,39 @@ class ExpressionSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("minhash_sigs == the per-shingle explode/groupBy pipeline, bit-identical") {
+    import graft.functions.MinHashSigsExpr.{P, a, b}
+    // edge cases: empty text (md5('') shingle), shorter-than-shingle,
+    // exact-shingle, stride boundaries, multibyte chars (substring /
+    // length are code-POINT semantics in both engines)
+    val docs = ((0L until 60L).map { i =>
+      val toks = (0 until (1 + math.floorMod(Corpus.mix(i), 30).toInt))
+        .map(j => Corpus.contentWord(math.floorMod(Corpus.mix(i * 11 + j), 80).toInt))
+      (i, toks.mkString(" "))
+    } :+ ((60L, "")) :+ ((61L, "abc")) :+ ((62L, "abcde")) :+
+      ((63L, "abcdefgh")) :+ ((64L, "abcdefghi")) :+
+      ((65L, "héllo wörld ünïcode — ascii no more")))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.functions.minhash_sigs(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (d, s) => d -> s.toVector }.toMap
+    // the explicit per-shingle pipeline (the CTE form the DuckDB oracle runs)
+    val sh = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text)-4, 1), 4)")).as("p"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(substring(text, p, 5)), 1, 15), 16, 10) as bigint)")
+          .as("base"))
+      .select(col("doc_id"), (col("base") % P).as("x"))
+    val mins = (0 until 32).map(j =>
+      min((lit(a(j)) * col("x") + lit(b(j))) % P).as(s"s$j"))
+    val want = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector).toMap
+    assert(got == want)
+  }
+
   test("SQL surface: functions usable via spark.sql after registration") {
     graft.plans.GraftExtensions.register(spark)
     Corpus.pages(spark, 20, 2).toDF().createOrReplaceTempView("pages_sql")
