@@ -511,21 +511,25 @@ object SparkEntry {
     // — the scale property that makes LSH-then-verify viable at 100 TB
     val candDocs = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    // distinct-token ARRAY per candidate doc: the exact-Jaccard check is
+    // one codegen'd array_intersect per pair instead of shuffling
+    // exploded term rows through distinct + groupBy + a two-key join
+    // (identical semantics — split(' ') keeps empty tokens in both
+    // forms, array_intersect de-duplicates — the DuckDB oracle keeps
+    // the explicit exploded-CTE form; only results must match)
     val tk = t(s, dir, "documents")
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term")).distinct()
-    val sizes = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        array_distinct(split(col("text"), " ")).as("terms"))
     // candidates are ≪ corpus by design, but a near-dup-heavy crawl can
     // make them O(corpus) — size-adapt like every other delta-derived
     // set (the count is one cheap job on the persisted candidate frame)
-    val inter = graft.sync.Tables.maybeBroadcast(cand, cand.count())
-      .join(tk.select(col("doc_id").as("d1"), col("term")), Seq("d1"))
-      .join(tk.select(col("doc_id").as("d2"), col("term")), Seq("d2", "term"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+    graft.sync.Tables.maybeBroadcast(cand, cand.count())
+      .join(tk.select(col("doc_id").as("d1"), col("terms").as("t1")), Seq("d1"))
+      .join(tk.select(col("doc_id").as("d2"), col("terms").as("t2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).as("i"),
+        size(col("t1")).as("s1"), size(col("t2")).as("s2"))
       .select(col("d1"), col("d2"),
         round(col("i") * 1.0 / (col("s1") + col("s2") - col("i")), 4)
           .as("jaccard"))
