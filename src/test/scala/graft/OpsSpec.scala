@@ -196,6 +196,27 @@ class OpsSpec extends SparkTestBase {
     assert(new IndexReader(spark, root).stats.n == 200)
   }
 
+  test("merge falls back to aggregation when the delta-stats stash is missing") {
+    val root = tmpDir("graft-stash")
+    val io = new TableIO(spark, root)
+    SyncJob.run(spark, io, Corpus.pages(spark, 200, 2), ts(200))
+    // batch 2: stage only (dry run checkpoints the segment stage), then
+    // drop the stashed (delta_rows, delta_dl) small files — staging the
+    // shape an older build would have left behind on resume
+    val win = Corpus.pagesRange(spark, 150, 260, 2)
+    val r1 = SyncJob.run(spark, io, win, ts(260), dryRun = true)
+    io.deleteDir(s"$root/staging/${r1.batchId}/delta_rows")
+    io.deleteDir(s"$root/staging/${r1.batchId}/delta_dl")
+    val r2 = SyncJob.run(spark, io, win, ts(260))
+    assert(r2.batchId == r1.batchId)
+    val reader = new IndexReader(spark, root)
+    val oracle = new NaiveIndex(Corpus.localRows(260))
+    assert(reader.stats.n == oracle.n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    assert(reader.topK("document", 10).map(h => (h.docId, h.score)).toSeq ==
+      oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
+  }
+
   test("verify read-model: in_sync flips when the source drifts") {
     val root = tmpDir("graft-verifyq")
     val io = new TableIO(spark, root)
