@@ -297,10 +297,16 @@ object Bench {
       runs28 ++= scaleRun(8, scaleDocs, 64)
       // a low sample is now ATTRIBUTABLE: the per-fork bandwidth probe
       // measures neighbor memory-bandwidth waves the CPU probe cannot
-      // see. Retry one interleaved pair when low — a wave passes; a
-      // persistent deficit with steady bandwidth is a real finding.
-      if (eff28Now() < 0.8) {
-        System.err.println(f"[bench] 2->8 sample ${eff28Now()}%.3f low — one retry pair")
+      // see. Retry up to two interleaved pairs when low (waves on this
+      // box run multi-minute, so one retry can land in the SAME wave);
+      // every sample stays in the record — a persistent deficit with
+      // steady bandwidth across three separated pairs is a real finding,
+      // not something a retry can hide.
+      var retries28 = 0
+      while (eff28Now() < 0.8 && retries28 < 2) {
+        retries28 += 1
+        System.err.println(
+          f"[bench] 2->8 sample ${eff28Now()}%.3f low — retry pair $retries28")
         runs28 ++= scaleRun(2, scaleDocs, 64)
         runs28 ++= scaleRun(8, scaleDocs, 64)
       }

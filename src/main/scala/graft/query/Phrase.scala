@@ -53,8 +53,22 @@ object Phrase {
   val maxResidentMatches = new java.util.concurrent.atomic.LongAccumulator(
     java.lang.Long.max _, 0L)
 
+  /** High-water of COMPRESSED posting-block bytes one (source, bucket)
+    * task materializes for cursor intersection. This is the operator's
+    * irreducible working set — concurrent forward cursors over every
+    * phrase term need the group's (term-filtered, still-compressed)
+    * blocks at hand — and it scales as
+    * O(phrase-terms' bytes / 2^bucketBits): the bucket-width knob IS the
+    * sizing control at 10¹² docs (PhraseSpec asserts the 1/2^bits slice
+    * bound; decoded positions and match tuples have their own tighter
+    * bounds above).
+    */
+  val maxResidentCompressedBytes = new java.util.concurrent.atomic.LongAccumulator(
+    java.lang.Long.max _, 0L)
+
   def resetResidentTracking(): Unit = {
     resident.set(0L); maxResidentPositions.reset(); maxResidentMatches.reset()
+    maxResidentCompressedBytes.reset()
   }
 
   /** Position-list intersection for one doc: count of p where slot i has
@@ -310,7 +324,15 @@ object Phrase {
     blocks.as[StampedPosBlock]
       .groupByKey(b => (b.stamp, b.bucket))
       .flatMapGroups { (key, bs) =>
-        val byTerm = bs.map(_.block).toArray.groupBy(_.term).toSeq
+        // the group's term-filtered COMPRESSED blocks are materialized —
+        // the intersection needs concurrent forward cursors over every
+        // phrase term — but that is O(terms' bytes / 2^bucketBits) per
+        // task, tracked and test-asserted (see maxResidentCompressedBytes)
+        val arr = bs.map(_.block).toArray
+        maxResidentCompressedBytes.accumulate(arr.iterator.map(b =>
+          (b.docIdsVB.length + b.tfsVB.length + b.dlsVB.length +
+            b.posVB.length).toLong).sum)
+        val byTerm = arr.groupBy(_.term).toSeq
         matchesInBucket(byTerm, terms)
           .map(m => (m.docId, m.dl, m.phraseTf, key._1))
       }

@@ -162,6 +162,55 @@ class PhraseSpec extends SparkTestBase {
     }
   }
 
+  test("stopword phrase: compressed working set is one bucket slice") {
+    // the group task materializes its (source, bucket)'s term-filtered
+    // COMPRESSED blocks — the intersection's irreducible working set.
+    // The scale contract: that set is O(terms' bytes / 2^bucketBits),
+    // so widening buckets (the per-index knob) shrinks every task's
+    // residency. 16 buckets → each task may hold ~1/16 of the phrase
+    // terms' compressed bytes (2× skew headroom), and never anything
+    // from other terms or the index at large.
+    val prev = sys.props.get("graft.docid.bucketBits")
+    sys.props("graft.docid.bucketBits") = "4"
+    DocIds.refreshBucketBits()
+    try {
+      val big = 12000
+      val dir = tmpDir("graft-posslice") + "/pos"
+      Positional.writeBlocks(Corpus.pages(spark, big, 8), dir)
+      val rows = Corpus.localRows(big)
+      val n = big.toLong
+      val avgdl = rows.map(p =>
+        graft.analysis.Tokenizer.tokenize(p.text).length.toLong).sum.toDouble / n
+      import spark.implicits._
+      val all = spark.read.parquet(dir).as[graft.index.PosBlock].collect()
+      def sz(b: graft.index.PosBlock): Long =
+        (b.docIdsVB.length + b.tfsVB.length + b.dlsVB.length +
+          b.posVB.length).toLong
+      val termBytes = all.iterator
+        .filter(b => b.term == "of" || b.term == "the").map(sz).sum
+      val indexBytes = all.iterator.map(sz).sum
+      assert(termBytes > 100000L, s"corpus too small: $termBytes bytes")
+      Phrase.resetResidentTracking()
+      val got = Phrase.topK(spark, dir, "of the", 10, n, avgdl).toSeq
+        .map(h => (h.docId, h.score))
+      val want = oraclePhraseOver(rows, "of the", 10).map(h => (h.docId, h.score))
+      assert(got == want, "stopword phrase diverged at bucketBits=4")
+      val res = Phrase.maxResidentCompressedBytes.get()
+      assert(res > 0)
+      assert(res <= termBytes / 8,
+        s"one task held $res compressed bytes of the terms' $termBytes — " +
+          "not a 1/2^bits bucket slice")
+      assert(res < indexBytes / 20,
+        s"one task held $res of the index's $indexBytes compressed bytes")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.docid.bucketBits") = v
+        case None => sys.props.remove("graft.docid.bucketBits")
+      }
+      DocIds.refreshBucketBits()
+    }
+  }
+
   test("maintained posindex: purge + sync answered live, gaps refuse") {
     val root = tmpDir("graft-poslsm")
     val io = new TableIO(spark, root)
