@@ -479,8 +479,17 @@ object Phrase {
     fs.rename(p(s"$posRoot/base"), p(s"$posRoot/base.trash"))
     fs.rename(p(next), p(s"$posRoot/base"))
     fs.delete(p(s"$posRoot/base.trash"), true)
-    // delete only the delta dirs this fold actually consumed
-    srcs.tail.foreach(s => fs.delete(p(s.dir), true))
+    // cleanup works from the RAW delta listing, not the enumerated
+    // sources: sources() hides deltas subsumed by the OLD base (a crash
+    // between a previous fold's base swap and its deletes leaves such
+    // dirs), so deleting only srcs.tail would leak them forever — and a
+    // leaked dir keeps the raw count at the auto-fold threshold, turning
+    // every subsequent publish into a full fold. Everything stamped ≤
+    // the NEW base stamp is subsumed by construction and safe to drop;
+    // under the lock nothing newer can appear, but the guard stays.
+    io.listDirNames(s"$posRoot/delta")
+      .filter(_ <= reader.version)
+      .foreach(b => fs.delete(p(s"$posRoot/delta/$b"), true))
   }
 
   /** Exact phrase top-k against a SINGLE flat positional dir with no

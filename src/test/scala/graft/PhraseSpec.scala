@@ -423,4 +423,49 @@ class PhraseSpec extends SparkTestBase {
       }
     }
   }
+
+  test("crashed fold: lingering subsumed deltas are swept by the next fold") {
+    // a crash between a fold's base swap and its delta deletes leaves
+    // delta dirs stamped <= the new base. sources() hides them (no
+    // double count — the stale-reader test), but the sweep must work
+    // from the RAW listing: if the next fold deleted only what it
+    // enumerates, the leaked dirs would sit at the auto-fold threshold
+    // forever and every publish would pay a full fold.
+    val root = tmpDir("graft-posfoldcrash")
+    val io = new TableIO(spark, root)
+    val M = 150
+    def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+    SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(M)), ts(M))
+    Positional.build(spark, spark.createDataset(Corpus.localRows(M)),
+      s"$root/posindex", io.currentVersion())
+    val base = Positional.builtFrom(spark, s"$root/posindex/base").get
+    // simulate the crash artifact: a delta stamped BELOW the base stamp
+    // (subsumed by definition; content is irrelevant to the sweep — use
+    // a copy of the base's parquet so the dir is a plausible delta)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = s"$root/posindex/delta/1970-01-01-T-00-00-00-000Z"
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$root/posindex/base"),
+      fs, new org.apache.hadoop.fs.Path(stale), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stale/_built_from"), false)
+    assert(io.listDirNames(s"$root/posindex/delta").nonEmpty)
+    // queries ignore the leaked dir (stamp <= base): answers stay exact
+    val reader = new IndexReader(spark, root)
+    val got = Phrase.topKLive(spark, io, s"$root/posindex",
+      "document 3", 10, reader).toSeq.map(h => (h.docId, h.score))
+    val want = oraclePhraseOver(Corpus.localRows(M), "document 3", 10)
+      .map(h => (h.docId, h.score))
+    assert(got == want, "leaked subsumed delta changed phrase answers")
+    // the next fold sweeps it even though sources() never enumerates it
+    Phrase.foldPosindex(spark, io, s"$root/posindex")
+    assert(io.listDirNames(s"$root/posindex/delta").isEmpty,
+      "subsumed delta dir survived the fold sweep")
+    assert(Positional.builtFrom(spark, s"$root/posindex/base").get >= base)
+    val got2 = Phrase.topKLive(spark, io, s"$root/posindex",
+      "document 3", 10, new IndexReader(spark, root))
+      .toSeq.map(h => (h.docId, h.score))
+    assert(got2 == want, "fold sweep changed phrase answers")
+  }
 }
