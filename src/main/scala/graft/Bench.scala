@@ -143,20 +143,31 @@ object Bench {
     // makes the two passes like-for-like (within a pass, sharing behaves
     // exactly as a production pipeline run); min per query.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passTimes: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+    // a pass records (seconds, succeeded): min-of-passes must never
+    // prefer a fast FAILURE over a real success (an exception path can
+    // return in milliseconds and would otherwise publish a bogus
+    // speedup with no in-record trace)
+    val passTimes: Seq[Map[String, (Double, Boolean)]] = (1 to 2).map { _ =>
       SparkEntry.clearQueryCaches()
       names.map { case (name, fn) =>
-        name -> time {
+        var ok = true
+        val (_, sec) = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
+            ok = false
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-        }._2
+        }
+        name -> (sec, ok)
       }.toMap
     }
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { case (name, _) =>
-      queryTimes(name) = passTimes.map(_(name)).min
+      val samples = passTimes.map(_(name))
+      val good = samples.filter(_._2).map(_._1)
+      if (good.nonEmpty) queryTimes(name) = good.min
+      else { queryTimes(name) = samples.map(_._1).min; failedQueries += name }
     }
     val qProbe2 = BenchScale.probeSec()
     val qBw2 = BenchScale.bandwidthGBs()
@@ -327,6 +338,9 @@ object Bench {
       f""""driver_query_probes":{"cpu_sec":[$qProbe1%.2f,$qProbe2%.2f],""" +
       f""""bw_gbs":[$qBw1%.1f,$qBw2%.1f],"passes_per_query":2,""" +
       """"aggregation":"min"},""" +
+      (if (failedQueries.nonEmpty)
+        failedQueries.mkString("\"failed_queries\":[\"", "\",\"", "\"],")
+      else "") +
       f""""index_build":{"docs":$benchDocs,"build_sec_primary":$build32%.2f,""" +
       f""""docs_per_sec_primary":${benchDocs / build32}%.0f,""" +
       f""""incremental_delta_docs":$deltaN,"incremental_sync_sec":$incSec%.2f,""" +

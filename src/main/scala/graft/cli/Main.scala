@@ -74,7 +74,8 @@ object Main {
         // delta the new stamp does not cover (phrase queries would then
         // refuse until a re-run). currentVersion is read under the lock.
         val release = io.acquireLock("index-pos")
-        try graft.index.Positional.build(spark, pages(spark, opts),
+        try graft.index.Positional.build(spark,
+          graft.sync.SyncJob.latestPerUrl(pages(spark, opts)),
           s"$root/posindex", io.currentVersion())
         finally release()
         println(s"positional index written: $root/posindex")

@@ -114,12 +114,20 @@ object SegmentBuilder extends Serializable {
       .groupBy("docId").agg(countDistinct("url").as("u"),
         count(lit(1)).as("c"), sum(col("doclen")).as("dl"))
       .agg(sum(col("c")).as("n"), max(col("u")).as("maxu"),
-        sum(col("dl")).as("dlsum"))
+        sum(col("dl")).as("dlsum"), max(col("c")).as("maxc"))
       .head()
     val n = if (row.isNullAt(0)) 0L else row.getLong(0)
     if (n > 0 && row.getLong(1) > 1)
       throw new IllegalStateException(
         "docId collision detected; widen keys to (docId, url) for this corpus")
+    // same-url duplicates must have been collapsed upstream
+    // (SyncJob.latestPerUrl): a docId twice in one segment double-counts
+    // the doc everywhere downstream, so refuse crisply here rather than
+    // publish a corrupt segment (free — same aggregation job)
+    if (n > 0 && row.getLong(3) > 1)
+      throw new IllegalStateException(
+        "duplicate rows for one url reached a segment — in-batch " +
+          "last-write-wins (latestPerUrl) was bypassed upstream")
     (n, if (n == 0 || row.isNullAt(2)) 0L else row.getLong(2))
   }
 

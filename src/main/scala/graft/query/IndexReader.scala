@@ -174,7 +174,13 @@ class IndexReader(spark: SparkSession, root: String) {
     // 1. dict probe: exact df (maintained under churn) + file pointers
     val dictRows = probeDict(terms)
     val tDict = System.nanoTime()
-    if (dictRows.isEmpty) return Array.empty
+    if (dictRows.isEmpty) {
+      // profile the miss too — an early return must not leave the
+      // previous query's profile attributed to this one
+      IndexReader.lastProfile = IndexReader.QueryProfile("empty",
+        (tDict - t0) / 1e9, 0.0, 0.0, (System.nanoTime() - t0) / 1e9)
+      return Array.empty
+    }
     val dfMap = dictRows.map(e => e._1 -> e._2).toMap
     val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
     val termFiles = dictRows.flatMap(_._3).distinct
@@ -209,8 +215,17 @@ class IndexReader(spark: SparkSession, root: String) {
     // several job round-trips, growing with segment count: the measured
     // r4 BM25 drift. The limit probe survives only for the rare gray
     // zone where the bounds straddle the budget.)
-    val maxBlocks = minBlocks + dfMap.valuesIterator
-      .map(df => math.min(df, (1L << bucketBits) * segments.size)).sum
+    // The bound must cover PHYSICAL blocks, not the dict's live df: dead
+    // postings of updated/purged docs stay in segment files until
+    // compaction, and an unbounded collect sized from live df alone
+    // could pull a multiple of the budget onto the driver after heavy
+    // churn. Each tombstoned docId holds at most one stale version per
+    // segment, so per term: physical df <= live df + T·|segments|.
+    val deadSlack = tombstoneCount * segments.size
+    val maxBlocks = dfMap.valuesIterator.map { df =>
+      val phys = df + deadSlack
+      (phys + 127) / 128 + math.min(phys, (1L << bucketBits) * segments.size)
+    }.sum
     // the local (driver WAND) path requires the dead Map; a distributed-
     // only tombstone set forces the per-bucket path for correctness
     val localOk = minBlocks <= LocalEvalMaxBlocks && !deadDistributed
@@ -221,7 +236,12 @@ class IndexReader(spark: SparkSession, root: String) {
     val tScan = System.nanoTime()
     val candidates: Array[Hit] =
       if (localOk && probe.length <= LocalEvalMaxBlocks) {
-        if (probe.isEmpty) return Array.empty
+        if (probe.isEmpty) {
+          IndexReader.lastProfile = IndexReader.QueryProfile("empty",
+            (tDict - t0) / 1e9, (tScan - tDict) / 1e9, 0.0,
+            (System.nanoTime() - t0) / 1e9)
+          return Array.empty
+        }
         // per-bucket WAND instances are independent — run them across
         // the driver's cores instead of serially (a stopword query on
         // this path decodes thousands of blocks; each bucket's result is

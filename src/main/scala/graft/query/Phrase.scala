@@ -237,20 +237,14 @@ object Phrase {
         s"positional base at $base carries no version stamp — rebuild it"))
     val deltaRoot = s"$posRoot/delta"
     val deltas =
-      if (!io.exists(deltaRoot)) Seq.empty
-      else {
-        val p = new org.apache.hadoop.fs.Path(deltaRoot)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-          .sorted
-          // a delta stamped ≤ the base is SUBSUMED by definition (the
-          // base covers every batch ≤ its stamp) — drop it here so a
-          // crash between a fold's base swap and its delta deletes can
-          // never double-count a doc; the lingering dirs are re-deleted
-          // by the next fold (self-healing)
-          .filter(_ > stamp)
-          .map(b => PosSource(b, s"$deltaRoot/$b"))
-      }
+      io.listDirNames(deltaRoot).sorted
+        // a delta stamped ≤ the base is SUBSUMED by definition (the
+        // base covers every batch ≤ its stamp) — drop it here so a
+        // crash between a fold's base swap and its delta deletes can
+        // never double-count a doc; the lingering dirs are swept from
+        // the raw listing by the next fold (self-healing)
+        .filter(_ > stamp)
+        .map(b => PosSource(b, s"$deltaRoot/$b"))
     PosSource(stamp, base) +: deltas
   }
 
@@ -450,6 +444,18 @@ object Phrase {
     val reader = new IndexReader(spark, io.root)
     val all = sources(spark, io, posRoot)
     val srcs = all.head +: all.tail.filter(_.stamp <= reader.version)
+    // the fold must REFUSE a coverage gap, exactly like topKLive: a new
+    // base stamped reader.version would claim coverage of every batch
+    // <= that version, so folding across a gap (a batch synced while no
+    // posindex existed) would convert the query path's crisp refusal
+    // into silently-missing phrase results, permanently. Refusing keeps
+    // the gap visible until the operator re-runs index-pos.
+    val uncoveredF = reader.liveBatchIds
+      .filter(b => b > srcs.head.stamp && !srcs.exists(_.stamp == b))
+    if (uncoveredF.nonEmpty)
+      throw new IllegalStateException(
+        s"refusing to fold: posindex at $posRoot does not cover live " +
+          s"batches ${uncoveredF.sorted.mkString(", ")} — re-run index-pos")
     val blocks = srcs.map { s =>
       spark.read.schema(posBlockSchema).parquet(s.dir)
         .withColumn("stamp", lit(s.stamp))

@@ -64,9 +64,11 @@ object ReconcileJob {
         .join(dest, Seq("url"), "left_outer")
         .where($"indexed_ts".isNull || !($"warc_ts" <=> $"indexed_ts"))
         .select($"url")
-      // S4/J4: fetch full records for the id list via semi join
-      val toIndex = pages.join(missingOrChanged, Seq("url"), "left_semi")
-        .as[PageRow]
+      // S4/J4: fetch full records for the id list via semi join; a
+      // source scan can hold the same url twice (re-crawl) — collapse
+      // to the newest before indexing, like the sync path
+      val toIndex = SyncJob.latestPerUrl(
+        pages.join(missingOrChanged, Seq("url"), "left_semi").as[PageRow])
       // reconcile deltas are usually small (the drift set) — adaptive width
       Tables.writeFwdAdaptive(spark, SegmentBuilder.analyze(toIndex).toDF(),
         analyzedDir)

@@ -106,7 +106,7 @@ object SyncJob {
       val lo = timed(batchId, "analyze.watermark") { primaryLo(spark, io) }
       val pred = Watermark.predicate(
         Map("warc_ts" -> lo), batchTs, Seq("warc_ts"))
-      val delta = pages.filter(pred)
+      val delta = latestPerUrl(pages.filter(pred))
       // fwd is the adopted analyzed output: write it bucketed by docId so
       // later update batches open only their affected buckets. Width per
       // segment: explicit hint > initial build (corpus-scale by
@@ -326,6 +326,25 @@ object SyncJob {
           delta, io.stagingDir(batchId, "pos"))
       }
 
+  /** In-batch last-write-wins by url: a crawl window can deliver the same
+    * page fetched twice (a re-crawl inside the window), and indexing both
+    * would put the docId in the segment twice — double BM25 scoring,
+    * double phrase df, a corrupted docs count. The reference's per-record
+    * upsert collapses same-key records in batch order
+    * (destinationManager.js processUpsertBatch → per-record mysql upsert);
+    * the set-oriented analog keeps the newest crawl, ties broken
+    * deterministically on the content hash. One O(delta) shuffle — the
+    * delta is the small side of every batch.
+    */
+  private[graft] def latestPerUrl(delta: Dataset[PageRow]): Dataset[PageRow] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc, xxhash64($"html").desc)
+    delta.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn").as[PageRow]
+  }
+
   /** Shared tail (segment → merge → publish) — reconcile's "missing"
     * processing reuses it verbatim, like the reference routes missing
     * records through the same resumeSync processor
@@ -436,7 +455,19 @@ object SyncJob {
         val deltaRoot = s"${io.root}/posindex/delta"
         if (io.exists(s"${io.root}/posindex/base") && io.exists(deltaRoot) &&
             io.listDirNames(deltaRoot).size >= Tables.compactThreshold)
-          graft.query.Phrase.foldLocked(spark, io, s"${io.root}/posindex")
+          // best-effort maintenance: the batch's index already published,
+          // so a posindex-only failure (coverage gap → crisp fold
+          // refusal, corrupt delta block) must not fail the sync batch —
+          // a repeated fold failure would otherwise burn the 3-failure
+          // error budget and halt the MAIN pipeline over a positional
+          // artifact. Phrase queries keep their own crisp refusal until
+          // the operator runs compact-pos / index-pos.
+          try graft.query.Phrase.foldLocked(spark, io, s"${io.root}/posindex")
+          catch { case e: Exception =>
+            System.err.println(
+              s"[sync] posindex auto-fold failed (batch $batchId): " +
+                s"${e.getMessage} — continuing; run compact-pos manually")
+          }
       }
       val millis = System.currentTimeMillis() - t0
       // lineage rides on the batch's own segment — O(delta), the rest of

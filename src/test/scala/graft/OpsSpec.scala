@@ -196,6 +196,42 @@ class OpsSpec extends SparkTestBase {
     assert(new IndexReader(spark, root).stats.n == 200)
   }
 
+  test("in-batch re-crawl of one url: last write wins, indexed once") {
+    // a crawl window can deliver the same page twice; the reference's
+    // per-record upsert collapses same-key records in batch order
+    // (processUpsertBatch, last record wins). Indexing both would put
+    // the docId in the segment twice — double BM25 scoring, double
+    // phrase df, corrupt doc count.
+    val root = tmpDir("graft-dupurl")
+    val io = new TableIO(spark, root)
+    val M = 100
+    val base = Corpus.localRows(M)
+    // re-crawl of url(5), one hour later, with new content
+    val newText = "refreshed dupwins content for the re crawled page"
+    val dup = base(5).copy(
+      warc_ts = new Timestamp(base(5).warc_ts.getTime + 3600 * 1000L),
+      html = ("<html><head><title>doc 5</title></head><body><p>" +
+        newText + "</p></body></html>").getBytes("UTF-8"),
+      text = newText)
+    val r = SyncJob.run(spark, io,
+      spark.createDataset(base :+ dup), ts(10000))
+    assert(r.deltaRows == M, s"expected $M unique docs, got ${r.deltaRows}")
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == M)
+    val docId = graft.index.DocIds.docId(Corpus.url(5L))
+    val rows = reader.docs.filter(col("docId") === docId).collect()
+    assert(rows.length == 1, s"docId appears ${rows.length} times")
+    assert(rows.head.getAs[Timestamp]("warc_ts") == dup.warc_ts,
+      "older crawl won — last-write-wins violated")
+    // the NEW content answers queries; a term unique to it hits the doc
+    val hits = reader.topK("dupwins", 5)
+    assert(hits.length == 1 && hits.head.docId == docId)
+    // ...and the old content's postings are absent (text(5)'s body words
+    // are shared grammar, but its df contribution is gone: the doc must
+    // not match a phrase from the OLD body)
+    assert(reader.topK("zzznothere", 5).isEmpty)
+  }
+
   test("merge falls back to aggregation when the delta-stats stash is missing") {
     val root = tmpDir("graft-stash")
     val io = new TableIO(spark, root)

@@ -5,7 +5,7 @@ import graft.corpus.Corpus
 import graft.index.{DocIds, Positional}
 import graft.query.{Bm25, IndexReader, Phrase}
 import graft.sources.TableIO
-import graft.sync.{PurgeJob, SyncJob}
+import graft.sync.{Metrics, PurgeJob, SyncJob}
 
 /** Positional index + phrase query vs a naive in-memory phrase oracle:
   * the flat single-dir path, the streaming-cursor memory bound, and the
@@ -418,6 +418,70 @@ class PhraseSpec extends SparkTestBase {
       assert(got == want, "auto-folded posindex diverged")
     } finally {
       prev match {
+        case Some(v) => sys.props("graft.compact.segments") = v
+        case None => sys.props.remove("graft.compact.segments")
+      }
+    }
+  }
+
+  test("fold refuses a coverage gap; auto-fold failure never fails the sync") {
+    // a batch synced while no posindex base existed has no pos delta: the
+    // query path refuses crisply. The FOLD must refuse the same gap — a
+    // new base stamped at the current version would claim coverage and
+    // convert the refusal into silently-missing phrase results forever.
+    // And the publish-stage auto-fold is best-effort maintenance: its
+    // refusal must not fail (or, repeated, error-budget-halt) the main
+    // sync pipeline.
+    val prevC = sys.props.get("graft.compact.segments")
+    sys.props("graft.compact.segments") = "2"
+    try {
+      val root = tmpDir("graft-posfoldgap")
+      val io = new TableIO(spark, root)
+      val M = 120
+      def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+      SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(M)), ts(M))
+      Positional.build(spark, spark.createDataset(Corpus.localRows(M)),
+        s"$root/posindex", io.currentVersion())
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // the gap: base aside, sync a batch (stages no pos delta), restore.
+      // New rows are re-stamped past the watermark so each batch picks
+      // up exactly its 10 (or 5) fresh docs.
+      def grown(upTo: Int, prevUpTo: Int, shift: Long) =
+        Corpus.localRows(upTo).zipWithIndex.map { case (pg, i) =>
+          if (i < prevUpTo) pg
+          else pg.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(shift + i)))
+        }
+      fs.rename(p(s"$root/posindex"), p(s"$root/posindex.aside"))
+      SyncJob.run(spark, io,
+        spark.createDataset(grown(M + 10, M, 10L * M)), ts(12L * M))
+      fs.rename(p(s"$root/posindex.aside"), p(s"$root/posindex"))
+      // a direct fold refuses crisply
+      val e = intercept[IllegalStateException] {
+        Phrase.foldPosindex(spark, io, s"$root/posindex")
+      }
+      assert(e.getMessage.contains("refusing to fold"))
+      // accumulate deltas past the threshold so publish auto-folds; the
+      // fold keeps refusing (the gap batch has no delta) but each sync
+      // must still publish and burn no error budget
+      (1 to 3).foreach { r =>
+        val res = SyncJob.run(spark, io,
+          spark.createDataset(
+            grown(M + 10 + 5 * r, M + 10 + 5 * (r - 1), 20L * M * r)),
+          ts(20L * M * r + 2 * M))
+        assert(res.deltaRows == 5, s"sync $r failed under auto-fold refusal")
+        assert(Metrics.errorCount(spark, io, res.batchId, SyncJob.Process) == 0,
+          s"auto-fold refusal burned error budget on sync $r")
+      }
+      // the gap is still visible to queries (crisp refusal, not silence)
+      val reader = new IndexReader(spark, root)
+      val qe = intercept[IllegalStateException] {
+        Phrase.topKLive(spark, io, s"$root/posindex", "document 3", 5, reader)
+      }
+      assert(qe.getMessage.contains("does not cover"))
+    } finally {
+      prevC match {
         case Some(v) => sys.props("graft.compact.segments") = v
         case None => sys.props.remove("graft.compact.segments")
       }
