@@ -375,7 +375,8 @@ object Bench {
 
     writeBaseline(sfDir, cpus, benchDocs, scaleDocs, total, queryTimes.toMap,
       build32, incSec, deltaN, pairLo, buildLo, buildHi, eff, runs, p50, p95,
-      runs28, eff28, Seq(qProbe1, qProbe2), Seq(qBw1, qBw2))
+      runs28, eff28, Seq(qProbe1, qProbe2), Seq(qBw1, qBw2),
+      failedQueries.toSeq)
   }
 
   private def writeBaseline(sfDir: String, cpus: Int, docs: Long,
@@ -384,7 +385,8 @@ object Bench {
       pairLo: Int, bLo: Double, bHi: Double,
       eff: Double, runs: Seq[ScaleRun], p50: Double, p95: Double,
       runs28: Seq[ScaleRun] = Seq.empty, eff28: Double = 0.0,
-      qProbes: Seq[Double] = Seq.empty, qBw: Seq[Double] = Seq.empty): Unit = {
+      qProbes: Seq[Double] = Seq.empty, qBw: Seq[Double] = Seq.empty,
+      failedQ: Seq[String] = Seq.empty): Unit = {
     val dir = new java.io.File("BENCH")
     dir.mkdirs()
     val md = new StringBuilder
@@ -463,9 +465,14 @@ object Bench {
     if (qProbes.nonEmpty)
       md.append(f"CPU probes ${qProbes.map(p => f"$p%.2f").mkString("/")} s; " +
         f"bandwidth probes ${qBw.map(b => f"$b%.0f").mkString("/")} GB/s.\n\n")
+    if (failedQ.nonEmpty)
+      md.append("**" + failedQ.size + " queries FAILED in every pass — " +
+        "their times below are exception times, not results: " +
+        failedQ.mkString(", ") + "**\n\n")
     md.append(f"Total: $total%.2f s\n\n| query | sec |\n|---|---|\n")
     qt.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      md.append(f"| $k | $v%.3f |\n")
+      md.append(f"| $k | $v%.3f |" +
+        (if (failedQ.contains(k)) " FAILED |" else "") + "\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/BASELINE.md"), md.toString)

@@ -81,18 +81,31 @@ class IndexReader(spark: SparkSession, root: String) {
         size > DictCacheMax
     })
 
-  /** (term, df, files) for each query term present in the dict. */
+  /** (term, df, files) for each query term present in the dict.
+    *
+    * Reads the cache ONCE into a local snapshot and answers from that:
+    * under concurrent readers the LRU may evict a key between a
+    * membership check and a later get, and with a negative cache an
+    * evicted entry is indistinguishable from an absent term — a
+    * check-then-get would silently drop the term from scoring.
+    */
   private def probeDict(terms: Seq[String]): Seq[(String, Long, Seq[String])] = {
-    val missing = terms.filterNot(dictCache.containsKey)
-    if (missing.nonEmpty) {
-      val rows = dict.filter($"term".isin(missing: _*))
-        .select($"term", $"df", $"files").collect()
-      val found = rows.iterator.map(r => r.getString(0) ->
-        DictEntry(r.getLong(1), r.getSeq[String](2))).toMap
-      missing.foreach(t => dictCache.put(t, found.get(t)))
-    }
-    terms.flatMap(t =>
-      Option(dictCache.get(t)).flatten.map(e => (t, e.df, e.files)))
+    val cached: Map[String, Option[DictEntry]] =
+      terms.flatMap(t => Option(dictCache.get(t)).map(t -> _)).toMap
+    val missing = terms.filterNot(cached.contains)
+    val probed: Map[String, Option[DictEntry]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val rows = dict.filter($"term".isin(missing: _*))
+          .select($"term", $"df", $"files").collect()
+        val found = rows.iterator.map(r => r.getString(0) ->
+          DictEntry(r.getLong(1), r.getSeq[String](2))).toMap
+        val m = missing.map(t => t -> found.get(t)).toMap
+        m.foreach { case (t, v) => dictCache.put(t, v) }
+        m
+      }
+    terms.flatMap(t => cached.getOrElse(t, probed.getOrElse(t, None))
+      .map(e => (t, e.df, e.files)))
   }
   val stats: CorpusStats = {
     val r = io.readParquet(s"${io.versionDir(version)}/stats").head()

@@ -71,6 +71,11 @@ object Phrase {
     maxResidentCompressedBytes.reset()
   }
 
+  /** Current (not high-water) resident decoded positions — tests assert
+    * this returns to zero after abandoned-iterator tasks.
+    */
+  private[graft] def residentPositionsNow: Long = resident.get()
+
   /** Position-list intersection for one doc: count of p where slot i has
     * position p+i for all i (slots = phrase terms in order; duplicates
     * share a positions array).
@@ -178,11 +183,20 @@ object Phrase {
     val slotCursors = phraseTerms.map(cursors).toArray
     val lead = cursors.values.minBy(_.totalPostings)
     val others = cursors.values.filter(_ ne lead).toArray
+    // a Spark task can ABANDON this iterator mid-stream (task kill,
+    // speculation, a downstream limit) — exhaustion/exception paths then
+    // never run, and the JVM-global `resident` counter would stay
+    // inflated for the process lifetime. The task-completion listener
+    // closes cursors on every executor-side outcome; close is idempotent
+    // so the normal exhaustion close stays the common path
+    // (CursorLeakSpec gates this).
+    lazy val closeAllOnce: Unit = cursors.values.foreach(_.close())
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeAllOnce))
     new Iterator[PhraseMatch] {
       private var pending: PhraseMatch = _
-      private var closed = false
-      private def closeAll(): Unit =
-        if (!closed) { closed = true; cursors.values.foreach(_.close()) }
+      private var done = false
+      private def closeAll(): Unit = { done = true; closeAllOnce }
       private def fetch(): Unit =
         try {
           while (pending == null && !lead.exhausted) {
@@ -209,7 +223,7 @@ object Phrase {
           if (pending == null) closeAll()
         } catch { case e: Throwable => closeAll(); throw e }
       def hasNext: Boolean = {
-        if (pending == null && !closed) fetch()
+        if (pending == null && !done) fetch()
         pending != null
       }
       def next(): PhraseMatch = {
@@ -428,6 +442,32 @@ object Phrase {
     try foldLocked(spark, io, posRoot) finally release()
   }
 
+  /** Heal a swap interrupted by a CRASH between the fold's two renames
+    * (caller holds the single-flight lock). `_built_from` is the last
+    * file written into base.next before the swap starts, so a complete
+    * base.next wins (roll forward); otherwise a lingering base.trash is
+    * the old base (roll back). Idempotent; no-op on a healthy layout.
+    */
+  private def recoverSwap(spark: SparkSession, posRoot: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(posRoot).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val base = p(s"$posRoot/base")
+    val next = p(s"$posRoot/base.next")
+    val trash = p(s"$posRoot/base.trash")
+    if (!fs.exists(base)) {
+      if (fs.exists(next) && fs.exists(p(s"$posRoot/base.next/_built_from"))) {
+        if (!fs.rename(next, base)) throw new java.io.IOException(
+          s"swap recovery: could not roll $next forward to $base")
+        fs.delete(trash, true)
+      } else if (fs.exists(trash)) {
+        if (!fs.rename(trash, base)) throw new java.io.IOException(
+          s"swap recovery: could not restore $base from $trash")
+        fs.delete(next, true)
+      }
+    }
+  }
+
   /** The fold body — caller MUST hold the root's single-flight lock
     * (foldPosindex takes it; SyncJob's publish stage already holds it
     * when auto-folding). The index snapshot is resolved HERE, under the
@@ -441,6 +481,7 @@ object Phrase {
   private[graft] def foldLocked(spark: SparkSession, io: TableIO,
                                 posRoot: String): Unit = {
     import spark.implicits._
+    recoverSwap(spark, posRoot)
     val reader = new IndexReader(spark, io.root)
     val all = sources(spark, io, posRoot)
     val srcs = all.head +: all.tail.filter(_.stamp <= reader.version)
@@ -481,9 +522,20 @@ object Phrase {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val out = fs.create(p(s"$next/_built_from"), true)
     try out.write(reader.version.getBytes("UTF-8")) finally out.close()
+    // two-rename swap with checked renames and in-process rollback: the
+    // window between the renames must never be allowed to persist as
+    // "no base" (phrase search silently dead until an operator digs out
+    // base.trash). A CRASH in the window is healed by recoverSwap on
+    // the next fold under the same lock.
     fs.delete(p(s"$posRoot/base.trash"), true)
-    fs.rename(p(s"$posRoot/base"), p(s"$posRoot/base.trash"))
-    fs.rename(p(next), p(s"$posRoot/base"))
+    if (!fs.rename(p(s"$posRoot/base"), p(s"$posRoot/base.trash")))
+      throw new java.io.IOException(
+        s"fold swap: could not move $posRoot/base aside")
+    if (!fs.rename(p(next), p(s"$posRoot/base"))) {
+      fs.rename(p(s"$posRoot/base.trash"), p(s"$posRoot/base"))
+      throw new java.io.IOException(
+        s"fold swap: could not publish $next — rolled back to the old base")
+    }
     fs.delete(p(s"$posRoot/base.trash"), true)
     // cleanup works from the RAW delta listing, not the enumerated
     // sources: sources() hides deltas subsumed by the OLD base (a crash

@@ -460,8 +460,11 @@ object SyncJob {
           // refusal, corrupt delta block) must not fail the sync batch —
           // a repeated fold failure would otherwise burn the 3-failure
           // error budget and halt the MAIN pipeline over a positional
-          // artifact. Phrase queries keep their own crisp refusal until
-          // the operator runs compact-pos / index-pos.
+          // artifact. Swallowing is SAFE: foldLocked's swap is checked +
+          // rolled back in-process and crash-healed by recoverSwap on
+          // the next fold, so no swallowed failure can leave the
+          // posindex baseless. Phrase queries keep their own crisp
+          // refusal until the operator runs compact-pos / index-pos.
           try graft.query.Phrase.foldLocked(spark, io, s"${io.root}/posindex")
           catch { case e: Exception =>
             System.err.println(

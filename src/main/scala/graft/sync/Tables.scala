@@ -460,9 +460,21 @@ object Tables {
             io.readSmallFile(s"${io.root}/staging/$batchId/delta_dl")) match {
         case (Some(n), Some(dl)) => (n.trim.toLong, dl.trim.toLong)
         case _ => sub("deltaStats") {
+          // staging resumed from an older build: THIS build's segment
+          // stage (and its duplicate-docId guard) never ran over it, so
+          // the per-segment uniqueness every join below relies on is
+          // unverified — enforce it here, in the same aggregation pass
+          // (a duplicate docId would double-count killed rows and
+          // subtract term stats twice: silently negative df)
           val r = io.readParquet(s"$seg/docs")
-            .agg(count(lit(1)), sum($"doclen")).head()
-          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+            .groupBy($"docId")
+            .agg(count(lit(1)).as("c"), sum($"doclen").as("dl"))
+            .agg(sum($"c"), sum($"dl"), max($"c")).head()
+          val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (n > 0 && r.getLong(2) > 1) throw new IllegalStateException(
+            "resumed staging holds one docId twice in a segment — " +
+              "discard the staging dir and re-run the batch")
+          (n, if (n == 0 || r.isNullAt(1)) 0L else r.getLong(1))
         }
       }
 

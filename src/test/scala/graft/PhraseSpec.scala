@@ -532,4 +532,41 @@ class PhraseSpec extends SparkTestBase {
       .toSeq.map(h => (h.docId, h.score))
     assert(got2 == want, "fold sweep changed phrase answers")
   }
+
+  test("crash between the fold's two renames: the next fold heals the swap") {
+    // the swap window (base moved to base.trash, base.next not yet
+    // renamed in) must not persist as "no base": the next fold under the
+    // lock rolls FORWARD when a complete base.next exists (its
+    // _built_from marker is the last file written before the swap
+    // starts) and rolls BACK from base.trash otherwise.
+    val root = tmpDir("graft-posswap")
+    val io = new TableIO(spark, root)
+    val M = 120
+    def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+    SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(M)), ts(M))
+    Positional.build(spark, spark.createDataset(Corpus.localRows(M)),
+      s"$root/posindex", io.currentVersion())
+    val want = oraclePhraseOver(Corpus.localRows(M), "document 3", 10)
+      .map(h => (h.docId, h.score))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def phrase() = Phrase.topKLive(spark, io, s"$root/posindex",
+      "document 3", 10, new IndexReader(spark, root))
+      .toSeq.map(h => (h.docId, h.score))
+    // roll-forward: crash left the NEW base complete in base.next
+    fs.rename(p(s"$root/posindex/base"), p(s"$root/posindex/base.next"))
+    Phrase.foldPosindex(spark, io, s"$root/posindex")
+    assert(fs.exists(p(s"$root/posindex/base")), "roll-forward lost base")
+    assert(!fs.exists(p(s"$root/posindex/base.next")))
+    assert(phrase() == want, "roll-forward changed phrase answers")
+    // roll-back: crash left only the OLD base, parked in base.trash
+    // (base.next incomplete — no _built_from)
+    fs.rename(p(s"$root/posindex/base"), p(s"$root/posindex/base.trash"))
+    fs.mkdirs(p(s"$root/posindex/base.next"))
+    Phrase.foldPosindex(spark, io, s"$root/posindex")
+    assert(fs.exists(p(s"$root/posindex/base")), "roll-back lost base")
+    assert(!fs.exists(p(s"$root/posindex/base.trash")))
+    assert(phrase() == want, "roll-back changed phrase answers")
+  }
 }
