@@ -348,6 +348,102 @@ object SparkEntry {
   private def mhA(j: Int): Long = graft.functions.MinHashSigsExpr.a(j)
   private def mhB(j: Int): Long = graft.functions.MinHashSigsExpr.b(j)
 
+  // ------------------------------------------------------------------
+  // Degenerate-bucket-safe LSH candidate generation (shared by the
+  // MinHash, SimHash, and embedding near-dup paths)
+  // ------------------------------------------------------------------
+
+  /** Per-task bucket-size cap for LSH pair generation. A template-heavy
+    * crawl concentrates near-identical docs into one band bucket; an
+    * uncapped bucket of 10⁶ docs emits 5·10¹¹ candidate pairs in ONE
+    * task — the standard production LSH failure. Buckets above the cap
+    * are hash-split into chunks and their pairs generated by a triangle
+    * chunk-pair join, so per-task work is bounded by ~cap² while the
+    * emitted pair set stays EXACTLY the set a plain band self-join
+    * produces (the DuckDB oracle is frozen — a result-changing cap/drop
+    * is not an option; LshPairsSpec asserts set equality on degenerate
+    * corpora).
+    */
+  private[graft] def lshMaxBucket: Int =
+    sys.props.get("graft.lsh.maxBucket")
+      .orElse(sys.env.get("GRAFT_LSH_MAX_BUCKET"))
+      .map(_.toInt).getOrElse(8192)
+
+  /** Exact row count of a parquet file/dir from its footers — driver-side
+    * metadata only, no Spark job (the gate below must not cost the
+    * common small-corpus case an extra action).
+    */
+  private[graft] def parquetRows(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Seq.empty
+    files(fs.getFileStatus(p)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** All unordered candidate pairs (out1 < out2) of ids sharing a bucket
+    * key — the LSH band-join core, emitted WITHOUT a self-join and
+    * WITHOUT an unbounded per-task bucket expansion.
+    *
+    * Small regime (`sourceRows <= lshMaxBucket`, which bounds every
+    * bucket trivially since an id appears at most once per bucket): one
+    * groupBy + in-row sorted pair expansion — one Exchange, one scan of
+    * `rows` (the former self-join scanned it twice and shuffled both
+    * sides). Large regime: per-bucket counts (its groupBy shares the
+    * partitioning of the join that follows), buckets over the cap are
+    * split into s = ceil(n/cap) chunks by id hash; same-chunk pairs
+    * expand like small buckets, cross-chunk pairs come from a triangle
+    * join on (bucket, c1, c2) with c1 < c2 — each task holds two chunks,
+    * so per-task pair work is bounded by ~cap² regardless of bucket
+    * degeneracy, and the replication cost is rows·s ≈ pairs/cap.
+    *
+    * May emit duplicate pairs ACROSS buckets (exactly like the
+    * self-join); callers apply the same `.distinct()` they always did.
+    */
+  private[graft] def bucketPairs(rows: DataFrame, keyCols: Seq[String],
+      idCol: String, sourceRows: Long,
+      out1: String, out2: String): DataFrame = {
+    val ks = keyCols.map(col)
+    def grouped(r: DataFrame, keys: Seq[Column]): DataFrame =
+      r.groupBy(keys: _*)
+        .agg(array_sort(collect_list(col(idCol))).as("ds"))
+        .where(size(col("ds")) > 1)
+    def expand(g: DataFrame): DataFrame =
+      g.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as(out1), col("p.b").as(out2))
+    val cap = lshMaxBucket
+    if (sourceRows <= cap) expand(grouped(rows, ks))
+    else {
+      val cnt = rows.groupBy(ks: _*).agg(count(lit(1)).as("bn"))
+      val withN = rows.join(cnt, keyCols)
+      val small = expand(grouped(withN.where(col("bn") <= cap), ks))
+      val big = withN.where(col("bn") > cap)
+        .withColumn("s", ceil(col("bn") / cap).cast("int"))
+        .withColumn("c", pmod(xxhash64(col(idCol)), col("s")).cast("int"))
+        .select(ks ++ Seq(col(idCol), col("s"), col("c")): _*)
+      val same = expand(grouped(big, ks :+ col("c")))
+      val lhs = big.where(col("c") < col("s") - 1)
+        .withColumn("c2", explode(expr("sequence(c + 1, s - 1)")))
+        .select(ks ++ Seq(col(idCol).as("xa"), col("c").as("c1"), col("c2")): _*)
+      val rhs = big.where(col("c") > 0)
+        .withColumn("c1", explode(expr("sequence(0, c - 1)")))
+        .select(ks ++ Seq(col(idCol).as("xb"), col("c1"), col("c").as("c2")): _*)
+      val cross = lhs.join(rhs, keyCols ++ Seq("c1", "c2"))
+        .select(least(col("xa"), col("xb")).as(out1),
+          greatest(col("xa"), col("xb")).as(out2))
+      small.unionByName(same).unionByName(cross)
+    }
+  }
+
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     // 32 signature minima in ONE codegen'd pass per doc (the former
     // per-shingle explode → md5 → conv → groupBy(32 mins) pipeline
@@ -415,11 +511,12 @@ object SparkEntry {
 
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     minhashCandCache.computeIfAbsent((s, dir), _ => {
-      val bands = minhashBands(s, dir)
-      val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
-      val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
-      a.join(b, Seq("band", "bh")).where(col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
+      // pair set identical to the former bands self-join (bucketPairs
+      // Scaladoc); one bands scan + one Exchange instead of two of each,
+      // and a degenerate band bucket can no longer pin one task
+      bucketPairs(minhashBands(s, dir), Seq("band", "bh"), "doc_id",
+          parquetRows(s, s"$dir/documents.parquet"), "d1", "d2")
+        .distinct()
         .persist()
     })
 
@@ -483,11 +580,9 @@ object SparkEntry {
       struct(lit(3).as("bi"), expr("simhash_hi div 65536").as("bv"))))
         .as("bd"))
       .select(col("doc_id"), col("bd.bi").as("bi"), col("bd.bv").as("bv"))
-    val cand = bands.select(col("doc_id").as("d1"), col("bi"), col("bv"))
-      .join(bands.select(col("doc_id").as("d2"), col("bi"), col("bv")),
-        Seq("bi", "bv"))
-      .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    val cand = bucketPairs(bands, Seq("bi", "bv"), "doc_id",
+        parquetRows(s, s"$dir/documents.parquet"), "d1", "d2")
+      .distinct()
     cand
       .join(sh.select(col("doc_id").as("d1"), col("simhash_hi").as("h1"),
         col("simhash_lo").as("l1")), Seq("d1"))
@@ -523,10 +618,19 @@ object SparkEntry {
         array_distinct(split(col("text"), " ")).as("terms"))
     // candidates are ≪ corpus by design, but a near-dup-heavy crawl can
     // make them O(corpus) — size-adapt like every other delta-derived
-    // set (the count is one cheap job on the persisted candidate frame)
-    graft.sync.Tables.maybeBroadcast(cand, cand.count())
+    // set (the count is one cheap job on the persisted candidate frame).
+    // tk holds at most 2·|cand| rows (only candidate docs survive the
+    // semi join), so the same count bounds the second attach: both
+    // joins size-adapt instead of the second falling to a sort-merge
+    // shuffle the planner picked blind.
+    val candN = cand.count()
+    // tk rows are WIDE (a distinct-term array per doc, ~KB), so the
+    // broadcast bound is far tighter than maybeBroadcast's row cap for
+    // narrow id rows: 100k docs ≈ 100 MB built relation
+    val tk2 = tk.select(col("doc_id").as("d2"), col("terms").as("t2"))
+    graft.sync.Tables.maybeBroadcast(cand, candN)
       .join(tk.select(col("doc_id").as("d1"), col("terms").as("t1")), Seq("d1"))
-      .join(tk.select(col("doc_id").as("d2"), col("terms").as("t2")), Seq("d2"))
+      .join(if (2 * candN <= 100000L) broadcast(tk2) else tk2, Seq("d2"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("t1"), col("t2"))).as("i"),
         size(col("t1")).as("s1"), size(col("t2")).as("s2"))
@@ -571,17 +675,22 @@ object SparkEntry {
   /** LSH-bucketed ANN search (the scale path end-to-end): the query
     * vector hashes to its bucket; only co-bucketed vectors are scored
     * (candidate set << corpus), then exact cosine top-k within them.
+    *
+    * One corpus scan carries (vec_id, embedding, bucket) end to end —
+    * the former shape computed the buckets frame separately and
+    * re-attached vectors through a `join(e, "vec_id")`, which at scale
+    * shuffles the embedding payload on a key unrelated to the bucket
+    * pruning (guide §8: move the heavy column once, decide with the
+    * light ones). Results are identical: same candidates, same scores.
     */
   private def qAnnLshSearch(s: SparkSession, dir: String): DataFrame = {
-    val buckets = qAnnLshBuckets(s, dir) // (vec_id, bucket)
-    val e = t(s, dir, "embeddings")
-    val qBucket = buckets.filter(col("vec_id") === 0).select(col("bucket"))
-    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    buckets
-      .join(broadcast(qBucket), "bucket")
+    val be = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.functions.lsh_bits(col("embedding")).as("bucket"))
+    val q = be.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("embedding").as("qv"))
+    be.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= 0)
-      .join(e, "vec_id")
-      .crossJoin(broadcast(qv))
       .select(col("vec_id"),
         round(graft.functions.functions.cosine_sim(col("embedding"), col("qv")), 4)
           .as("cos"))
@@ -594,22 +703,25 @@ object SparkEntry {
     * recall repair for single-probe LSH; candidates stay ≪ corpus.
     */
   private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    val buckets = t(s, dir, "embeddings")
-      .select(col("vec_id"),
+    // one corpus scan (vec_id, embedding, bucket); the 9-probe set rides
+    // in the broadcast WITH the query vector attached, so no second pass
+    // over the corpus and no vec_id re-join shuffles the payload (same
+    // candidates and scores as the former 3-scan shape). qv is constant
+    // across the probe rows, so dropDuplicates("bucket") keeps the probe
+    // set identical to the former distinct().
+    val be = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
         graft.functions.functions.lsh_bits(col("embedding")).as("bucket"))
-    val e = t(s, dir, "embeddings")
-    val qb = buckets.filter(col("vec_id") === 0).select(col("bucket"))
-    val probes = qb
+    val qrow = be.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("embedding").as("qv"))
+    val probes = qrow
       .crossJoin(s.range(0, 9).select(col("id").as("j")))
       .select(when(col("j") === 8, col("bucket"))
-        .otherwise(expr("bucket ^ shiftleft(1L, cast(j as int))")).as("bucket"))
-      .distinct()
-    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    buckets
-      .join(broadcast(probes), "bucket")
+        .otherwise(expr("bucket ^ shiftleft(1L, cast(j as int))")).as("bucket"),
+        col("qv"))
+      .dropDuplicates("bucket")
+    be.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= 0)
-      .join(e, "vec_id")
-      .crossJoin(broadcast(qv))
       .select(col("vec_id"),
         round(graft.functions.functions.cosine_sim(col("embedding"), col("qv")), 4)
           .as("cos"))
@@ -627,15 +739,17 @@ object SparkEntry {
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.functions.lsh_bits
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val tables = e.select(col("vec_id"), lit(0).as("tbl"),
-        lsh_bits(col("embedding"), 0, 16).as("bkt"))
-      .unionByName(e.select(col("vec_id"), lit(1).as("tbl"),
-        lsh_bits(col("embedding"), 16, 16).as("bkt")))
-    val pairs = tables.select(col("tbl"), col("bkt"), col("vec_id").as("v1"))
-      .join(tables.select(col("tbl"), col("bkt"), col("vec_id").as("v2")),
-        Seq("tbl", "bkt"))
-      .where(col("v1") < col("v2"))
-      .select(col("v1"), col("v2")).distinct()
+    // both 16-bit projections in ONE corpus scan (the former unionByName
+    // of two selects re-read the table per branch, and the self-join
+    // doubled that again); pair set identical (bucketPairs Scaladoc)
+    val tables = e.select(col("vec_id"), explode(array(
+        struct(lit(0).as("tbl"), lsh_bits(col("embedding"), 0, 16).as("bkt")),
+        struct(lit(1).as("tbl"), lsh_bits(col("embedding"), 16, 16).as("bkt"))))
+        .as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val pairs = bucketPairs(tables, Seq("tbl", "bkt"), "vec_id",
+        parquetRows(s, s"$dir/embeddings.parquet"), "v1", "v2")
+      .distinct()
     pairs
       .join(e.toDF("v1", "e1"), Seq("v1"))
       .join(e.toDF("v2", "e2"), Seq("v2"))

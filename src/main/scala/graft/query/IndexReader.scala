@@ -39,6 +39,12 @@ class IndexReader(spark: SparkSession, root: String) {
     */
   val bucketBits: Int = io.readBucketBits(version)
 
+  /** Exact cumulative dead postings in this version's segment files
+    * (manifest-recorded by appends, reset by compaction); None for
+    * pre-recording manifests.
+    */
+  private val deadPostings: Option[Long] = io.readDeadPostings(version)
+
   private def segPaths(sub: String): Seq[String] =
     segments.map(s => s"${io.segmentDir(s)}/$sub")
 
@@ -108,7 +114,9 @@ class IndexReader(spark: SparkSession, root: String) {
       .map(e => (t, e.df, e.files)))
   }
   val stats: CorpusStats = {
-    val r = io.readParquet(s"${io.versionDir(version)}/stats").head()
+    val r = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[CorpusStats].schema)
+      .parquet(s"${io.versionDir(version)}/stats").head()
     CorpusStats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"),
       r.getAs[Long]("sumDl"))
   }
@@ -232,9 +240,14 @@ class IndexReader(spark: SparkSession, root: String) {
     // postings of updated/purged docs stay in segment files until
     // compaction, and an unbounded collect sized from live df alone
     // could pull a multiple of the budget onto the driver after heavy
-    // churn. Each tombstoned docId holds at most one stale version per
-    // segment, so per term: physical df <= live df + T·|segments|.
-    val deadSlack = tombstoneCount * segments.size
+    // churn. The manifest records the EXACT cumulative dead-posting
+    // count (appends observe Σ subDf on their dict-delta job), which
+    // bounds any single term's stale postings; pre-recording manifests
+    // fall back to tombstones × segments (each tombstoned docId holds at
+    // most one stale version per segment). The old product demoted
+    // essentially every query to the serial limit-probe path under
+    // realistic churn — the r4 BM25-drift shape (ADVICE r5).
+    val deadSlack = deadPostings.getOrElse(tombstoneCount * segments.size)
     val maxBlocks = dfMap.valuesIterator.map { df =>
       val phys = df + deadSlack
       (phys + 127) / 128 + math.min(phys, (1L << bucketBits) * segments.size)

@@ -448,6 +448,10 @@ object Phrase {
     * base.next wins (roll forward); otherwise a lingering base.trash is
     * the old base (roll back). Idempotent; no-op on a healthy layout.
     */
+  private[graft] def recoverSwapLocked(spark: SparkSession,
+                                       posRoot: String): Unit =
+    recoverSwap(spark, posRoot)
+
   private def recoverSwap(spark: SparkSession, posRoot: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(posRoot).getFileSystem(conf)

@@ -70,7 +70,8 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
   def writeManifest(version: String, segments: Seq[String],
                     tombstoneCount: Long,
                     dictChain: Seq[String] = Seq.empty,
-                    bucketBits: Int = graft.index.DocIds.bucketBits): Unit = {
+                    bucketBits: Int = graft.index.DocIds.bucketBits,
+                    deadPostings: Long = 0L): Unit = {
     val dict =
       if (dictChain.isEmpty) ""
       else dictChain.map("\"" + _ + "\"").mkString(",\"dict\":[", ",", "]")
@@ -78,8 +79,20 @@ class TableIO(val spark: SparkSession, val root: String) extends Serializable {
       segments.map("\"" + _ + "\"").mkString(
         "{\"segments\":[", ",",
         s"],\"tombstones\":$tombstoneCount$dict," +
-          s""""bucketBits":$bucketBits}"""))
+          s""""bucketBits":$bucketBits,"deadPostings":$deadPostings}"""))
   }
+
+  /** Cumulative dead postings physically present in this version's
+    * segment files (killed docs' stale term occurrences, reset to 0 by
+    * compaction) — recorded at append time so the reader's physical-
+    * block upper bound can scale with ACTUAL stale postings instead of
+    * the conservative tombstones × segments product. None for manifests
+    * written before the recording existed (readers fall back).
+    */
+  def readDeadPostings(version: String): Option[Long] =
+    readSmallFile(s"${versionDir(version)}/manifest")
+      .flatMap(c => TableIO.ManifestDeadRe.findFirstMatchIn(c))
+      .map(_.group(1).toLong)
 
   /** The docId bucket width this index was built at (recorded per
     * version; read paths must use it instead of runtime config). A
@@ -340,4 +353,5 @@ object TableIO {
   private val ManifestTombsRe = """"tombstones":(\d+)""".r
   private val ManifestDictRe = """"dict":\[([^\]]*)\]""".r
   private val ManifestBitsRe = """"bucketBits":(\d+)""".r
+  private val ManifestDeadRe = """"deadPostings":(\d+)""".r
 }

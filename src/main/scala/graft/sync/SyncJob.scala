@@ -226,13 +226,26 @@ object SyncJob {
     BatchResult(batchId, counts)
   }
 
-  /** The primary watermark: max indexed warc_ts over live docs. */
+  /** The primary watermark: max indexed warc_ts over live docs. Reads
+    * only the manifest + the docs tables' warc_ts column (and tombstones
+    * when any exist) — the former Tables.loadCurrent here also paid the
+    * version's stats head() job and dict-chain planning that the
+    * watermark never uses, one wasted job per sync batch.
+    */
   private def primaryLo(spark: SparkSession, io: TableIO): Timestamp = {
     import spark.implicits._
-    Tables.loadCurrent(spark, io)
-      .map(t => t.docs.agg(max($"warc_ts")).head())
-      .flatMap(r => Option(r.getTimestamp(0)))
-      .getOrElse(Epoch0)
+    io.currentVersion().map { v =>
+      val (segs, tombCount) = io.readManifest(v)
+      val docs = spark.read.schema(Tables.DocSchema)
+        .parquet(segs.map(s => s"${io.segmentDir(s)}/docs"): _*)
+        .as[graft.DocRow]
+      val live = Tables.liveDocs(docs,
+        if (tombCount == 0) spark.emptyDataset[graft.Tombstone]
+        else io.readParquet(s"${io.versionDir(v)}/tombstones")
+          .as[graft.Tombstone],
+        tombCount)
+      live.agg(max($"warc_ts")).head()
+    }.flatMap(r => Option(r.getTimestamp(0))).getOrElse(Epoch0)
   }
 
   /** Sync from a raw frame carrying EXTRA nullable update-timestamp
@@ -319,12 +332,19 @@ object SyncJob {
     */
   private[sync] def stagePosDelta(spark: SparkSession, io: TableIO,
                                   batchId: String,
-                                  delta: Dataset[PageRow]): Unit =
-    if (io.exists(s"${io.root}/posindex/base"))
+                                  delta: Dataset[PageRow]): Unit = {
+    // a fold swap that crashed between its two renames leaves base.next
+    // or base.trash instead of base — the posindex still EXISTS (the
+    // publish stage heals it), so interim batches must keep staging
+    // their deltas or the healed base acquires a permanent coverage gap
+    val posRoot = s"${io.root}/posindex"
+    if (io.exists(s"$posRoot/base") || io.exists(s"$posRoot/base.next") ||
+        io.exists(s"$posRoot/base.trash"))
       timed(batchId, "analyze.posDelta") {
         graft.index.Positional.writeBlocks(
           delta, io.stagingDir(batchId, "pos"))
       }
+  }
 
   /** In-batch last-write-wins by url: a crawl window can deliver the same
     * page fetched twice (a re-crawl inside the window), and indexing both
@@ -363,26 +383,38 @@ object SyncJob {
     // ---- segment -----------------------------------------------------
     if (!cp.isDone(batchId, process, resource, "segment")) timed(batchId, "segment") {
       val analyzed = Tables.readFwdDir(spark, analyzedDir)
-      // docs first (column-pruned: the tfs map column is never read),
-      // then the collision check runs on the small written docs table,
-      // piggybacking the delta row count (stashed FS-side for publish —
-      // the staged dirs may be renamed away by the merge stage)
-      timed(batchId, "segment.docs") {
+      // the docs write and the collision aggregation are independent
+      // column-pruned reads of the staged fwd (neither touches the heavy
+      // tfs column), so the docs write runs on a second driver thread and
+      // backfills executors the collision agg's tail leaves idle (guide
+      // §2.6 overlap); the block build waits for the collision count,
+      // which sizes its shuffle. The collision check (with the delta row
+      // count + doclen sum piggybacked, stashed FS-side for publish —
+      // the staged dirs may be renamed away by the merge stage) reads
+      // the staged fwd directly: same rows as the written docs table.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fDocs = Future { timed(batchId, "segment.docs") {
         io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
-      }
-      val (n, dlSum) = timed(batchId, "segment.collisions") {
-        SegmentBuilder.checkCollisions(io.readParquet(docsDir)) }
-      io.writeSmallFile(s"${io.root}/staging/$batchId/delta_rows", n.toString)
-      // doclen sum rides along for the merge stage's O(delta) stats
-      // arithmetic (saves its deltaStats job; merge falls back to the
-      // aggregation if the file is missing, e.g. staging from an older
-      // build)
-      io.writeSmallFile(s"${io.root}/staging/$batchId/delta_dl", dlSum.toString)
-      timed(batchId, "segment.blocks") {
-        val blocks = SegmentBuilder.buildBlocks(
-          SegmentBuilder.toPostings(analyzed), batchId)
-        io.writeParquet(blocks.toDF(), blocksDir)
-      }
+      } }
+      try {
+        val (n, dlSum) = timed(batchId, "segment.collisions") {
+          SegmentBuilder.checkCollisions(analyzed) }
+        io.writeSmallFile(s"${io.root}/staging/$batchId/delta_rows", n.toString)
+        // doclen sum rides along for the merge stage's O(delta) stats
+        // arithmetic (saves its deltaStats job; merge falls back to the
+        // aggregation if the file is missing, e.g. staging from an older
+        // build)
+        io.writeSmallFile(s"${io.root}/staging/$batchId/delta_dl", dlSum.toString)
+        timed(batchId, "segment.blocks") {
+          val blocks = SegmentBuilder.buildBlocks(
+            SegmentBuilder.toPostings(analyzed), batchId,
+            Tables.blockPartitions(spark, dlSum))
+          io.writeParquet(blocks.toDF(), blocksDir)
+        }
+      } finally Await.ready(fDocs, Duration.Inf)
+      Await.result(fDocs, Duration.Inf) // propagate a docs-write failure
       cp.markDone(batchId, process, resource, "segment")
     }
 
@@ -405,9 +437,17 @@ object SyncJob {
         case None =>
           // initial build: the staged segment (already (term,bucket)-
           // partitioned, sorted, encoded) IS the index — adopt the staged
-          // dirs by rename (O(1), no re-read) and derive dict/stats
+          // dirs by rename (O(1), no re-read) and derive dict/stats; the
+          // segment stage already aggregated (rows, doclen sum), so the
+          // stats derivation skips its docs re-aggregation job
+          val known = (
+            io.readSmallFile(s"${io.root}/staging/$batchId/delta_rows"),
+            io.readSmallFile(s"${io.root}/staging/$batchId/delta_dl")) match {
+            case (Some(n), Some(dl)) => Some((n.trim.toLong, dl.trim.toLong))
+            case _ => None
+          }
           Tables.writeInitial(spark, io, batchId, docsDir, blocksDir,
-            analyzedDir)
+            analyzedDir, known)
         case Some(o) if Tables.needsCompaction(o) =>
           // every compactThreshold batches (or at high tombstone ratio):
           // fold segments into one — amortized O(index/threshold) merge
@@ -452,8 +492,24 @@ object SyncJob {
       // lock, so foldLocked is called directly; the fold resolves the
       // just-published version as its snapshot.
       timed(batchId, "publish.posFold") {
-        val deltaRoot = s"${io.root}/posindex/delta"
-        if (io.exists(s"${io.root}/posindex/base") && io.exists(deltaRoot) &&
+        val posRoot = s"${io.root}/posindex"
+        val deltaRoot = s"$posRoot/delta"
+        // heal a fold swap that crashed between its two renames FIRST
+        // (we hold the root's single-flight lock): without this a
+        // baseless posindex never reaches the threshold guard below, so
+        // the promised recoverSwap self-heal would never run on the
+        // automatic path and the operator would have to re-run a full
+        // index-pos rebuild
+        if (!io.exists(s"$posRoot/base") &&
+            (io.exists(s"$posRoot/base.next") ||
+              io.exists(s"$posRoot/base.trash")))
+          try graft.query.Phrase.recoverSwapLocked(spark, posRoot)
+          catch { case e: Exception =>
+            System.err.println(
+              s"[sync] posindex swap recovery failed (batch $batchId): " +
+                s"${e.getMessage} — continuing; run compact-pos manually")
+          }
+        if (io.exists(s"$posRoot/base") && io.exists(deltaRoot) &&
             io.listDirNames(deltaRoot).size >= Tables.compactThreshold)
           // best-effort maintenance: the batch's index already published,
           // so a posindex-only failure (coverage gap → crisp fold
@@ -475,8 +531,8 @@ object SyncJob {
       val millis = System.currentTimeMillis() - t0
       // lineage rides on the batch's own segment — O(delta), the rest of
       // the index is untouched by this batch
-      val blocks = io.readParquet(s"${io.segmentDir(batchId)}/index")
-        .as[graft.IndexBlock]
+      val blocks = spark.read.schema(Tables.BlockSchema)
+        .parquet(s"${io.segmentDir(batchId)}/index").as[graft.IndexBlock]
       val p = spark.sessionState.conf.numShufflePartitions
       Metrics.append(io,
         Metrics.segmentMetrics(spark, blocks, batchId, process, p, millis)

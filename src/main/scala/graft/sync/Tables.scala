@@ -129,6 +129,30 @@ object Tables {
   private[graft] val FwdSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[graft.index.AnalyzedPage].schema
 
+  /** Static docs/index schemas: no footer-inference pass on the hot
+    * read paths (watermark probe, publish metrics).
+    */
+  private[graft] val DocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[DocRow].schema
+  private[graft] val BlockSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[IndexBlock].schema
+
+  /** Shuffle width for a delta's posting build, derived from its token
+    * count: ~250k postings (a few MB) per partition, clamped to
+    * [1, configured width]. A 500-doc ephemeral or steady-state delta
+    * batch no longer pays a full confed-width shuffle + one output file
+    * per task, while corpus-scale builds clamp to the session width —
+    * the scale forks' plans are unchanged (480k-640k-doc builds hit the
+    * clamp), so N-vs-4N comparability is preserved.
+    */
+  def blockPartitions(spark: SparkSession, dlSum: Long): Int = {
+    val target = sys.props.get("graft.blocks.tokensPerPartition")
+      .orElse(sys.env.get("GRAFT_BLOCKS_TOKENS_PER_PARTITION"))
+      .map(_.toLong).getOrElse(250000L)
+    val conf = spark.sessionState.conf.numShufflePartitions
+    math.min(conf.toLong, math.max(1L, (dlSum + target - 1L) / target)).toInt
+  }
+
   /** Marker file recording a fwd dir's bucket width (0 = flat layout). */
   private def fwdBitsPath(base: String) = s"$base/_fwd_bits"
 
@@ -357,37 +381,45 @@ object Tables {
 
   // ---- initial build ---------------------------------------------------
 
-  /** Adopt the staged initial build as segment #1 of a fresh index. */
+  /** Adopt the staged initial build as segment #1 of a fresh index.
+    * `knownStats` = (rows, doclen sum) when the segment stage already
+    * aggregated them — skips the docs re-aggregation job.
+    */
   def writeInitial(spark: SparkSession, io: TableIO, batchId: String,
                    docsDir: String, blocksDir: String,
-                   analyzedDir: String): Unit = {
+                   analyzedDir: String,
+                   knownStats: Option[(Long, Long)] = None): Unit = {
     val seg = io.segmentDir(batchId)
     io.moveDir(docsDir, s"$seg/docs")
     io.moveDir(blocksDir, s"$seg/index")
     io.moveDir(analyzedDir, s"$seg/fwd")
-    deriveDictStats(spark, io, batchId, Seq(batchId))
+    deriveDictStats(spark, io, batchId, Seq(batchId), knownStats)
   }
 
   /** FULL dict + corpus stats from a single freshly written segment
     * (pruned metadata-column scans — the encode shuffle never re-runs),
     * plus the version manifest with an empty tombstone set and a
-    * one-link dict chain.
+    * one-link dict chain. `knownStats` short-circuits the docs
+    * aggregation when the caller already holds (rows, doclen sum).
     */
   def deriveDictStats(spark: SparkSession, io: TableIO, ver: String,
-                      segments: Seq[String]): Unit = {
+                      segments: Seq[String],
+                      knownStats: Option[(Long, Long)] = None): Unit = {
     import spark.implicits._
-    val idx = spark.read
+    val idx = spark.read.schema(BlockSchema)
       .parquet(segments.map(s => s"${io.segmentDir(s)}/index"): _*)
       .withColumn("f", input_file_name()) // project first: agg args must be deterministic
     io.writeParquet(
       idx.groupBy($"term").agg(sum($"count").as("df"), sum($"tfSum").as("cf"),
         collect_set($"f").as("files")),
       io.dictDir(ver))
-    val row = spark.read
-      .parquet(segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
-      .agg(count(lit(1)), sum($"doclen")).head()
-    val n = row.getLong(0)
-    val sumDl = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val (n, sumDl) = knownStats.getOrElse {
+      val row = spark.read.schema(DocSchema)
+        .parquet(segments.map(s => s"${io.segmentDir(s)}/docs"): _*)
+        .agg(count(lit(1)), sum($"doclen")).head()
+      val n0 = row.getLong(0)
+      (n0, if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
     writeStats(spark, io, ver, n, sumDl)
     io.writeManifest(ver, segments, 0L, Seq(ver))
   }
@@ -522,22 +554,29 @@ object Tables {
       // the old document. The left join against the delta's urls cannot
       // duplicate killed rows (delta docIds are unique per segment), so
       // the count/sum aggregates are unchanged by the fusion.
-      val kWithNew =
-        if (hasDelta)
-          killed.join(maybeBroadcast(io.readParquet(s"$seg/docs")
-              .select($"docId", $"url".as("new_url")), deltaN),
-            Seq("docId"), "left")
-        else killed.withColumn("new_url", lit(null).cast("string"))
-      val kr = sub("killedStats") {
-        kWithNew.agg(count(lit(1)), sum($"doclen"),
-          count(when($"new_url".isNotNull && $"url" =!= $"new_url", lit(1))))
-          .head() }
-      val killedN = kr.getLong(0)
-      val killedDl = if (kr.isNullAt(1)) 0L else kr.getLong(1)
-      val nColl = kr.getLong(2)
-      if (nColl > 0) throw new IllegalStateException(
-        s"docId collision across batches ($nColl urls); widen keys to " +
-          "(docId, url) for this corpus")
+      // pure-append batches (nExisting == 0, the crawl steady state)
+      // skip the killed-stats job outright: killed is empty by
+      // construction, so its aggregates are zero and there is nothing
+      // to collision-check
+      val (killedN, killedDl) =
+        if (nExisting == 0) (0L, 0L)
+        else {
+          val kWithNew =
+            if (hasDelta)
+              killed.join(maybeBroadcast(io.readParquet(s"$seg/docs")
+                  .select($"docId", $"url".as("new_url")), deltaN),
+                Seq("docId"), "left")
+            else killed.withColumn("new_url", lit(null).cast("string"))
+          val kr = sub("killedStats") {
+            kWithNew.agg(count(lit(1)), sum($"doclen"),
+              count(when($"new_url".isNotNull && $"url" =!= $"new_url", lit(1))))
+              .head() }
+          val nColl = kr.getLong(2)
+          if (nColl > 0) throw new IllegalStateException(
+            s"docId collision across batches ($nColl urls); widen keys to " +
+              "(docId, url) for this corpus")
+          (kr.getLong(0), if (kr.isNullAt(1)) 0L else kr.getLong(1))
+        }
 
       // dict DELTA: ⊕ the delta segment's term stats ⊖ the killed docs',
       // written as ONE signed delta link appended to the dict chain —
@@ -556,10 +595,20 @@ object Tables {
           .groupBy($"term")
           .agg(sum($"count").as("addDf"), sum($"tfSum").as("addCf"),
             collect_set($"f").as("addFiles"))
-      val dictSub = killed
+      // Σ subDf = the killed docs' distinct-term occurrences = exactly
+      // the postings this batch leaves physically dead in old segment
+      // files; observed on the dict-delta job (no extra pass) and
+      // recorded in the manifest so the reader's physical-block bound
+      // tracks ACTUAL stale postings, not tombstones × segments
+      val obsDead = org.apache.spark.sql.Observation()
+      val dictSub0 = killed
         .select(explode($"tfs").as(Seq("term", "tf")))
         .groupBy($"term")
         .agg(count(lit(1)).as("subDf"), sum($"tf").as("subCf"))
+      val dictSub =
+        if (nExisting == 0) dictSub0
+        else dictSub0.observe(obsDead,
+          coalesce(sum($"subDf"), lit(0L)).as("deadAdd"))
       val emptyArr = typedLit(Seq.empty[String])
       val dictDelta = dictAdd
         .join(dictSub, Seq("term"), "full_outer")
@@ -578,41 +627,60 @@ object Tables {
       // (b) delta ids that carry an old tombstone (a doc re-added after a
       // purge — the "~" row must soften to `before = batchId`, else the
       // new segment's row stays dead; it can't simply be dropped, the
-      // purged segment row is still physically present)
-      val revived = deltaIds
-        .join(old.tombstones.toDF().select($"docId"), Seq("docId"), "left_semi")
-      val newTombRows = killed.select($"docId").union(revived).distinct()
-        .join(deltaIds.withColumn("isDelta", lit(1)), Seq("docId"), "left")
-        .select($"docId",
-          when($"isDelta".isNotNull, lit(batchId))
-            .otherwise(lit(PurgeSentinel)).as("before"))
-        .persist()
-      // O(batch) rows and a SUBSET of `affected` (killed ⊆ affected,
-      // revived ⊆ delta ids), so the already-known affectedCount is a
-      // safe size bound for the broadcast decision — no extra count job;
-      // over-estimating only trades a broadcast for a shuffle join on a
-      // backfill-scale batch, never a driver-squeezed broadcast
-      val keptOld = old.tombstones.toDF()
-        .join(maybeBroadcast(newTombRows.select($"docId"), affectedCount),
-          Seq("docId"), "left_anti")
-      val allTombs = keptOld.unionByName(newTombRows).persist()
-      val tombCount = allTombs.count()
-      // partitioned tombstone files, sized by row count: one file while
-      // the set is small, ~4M rows per file past that — never a single
-      // driver-squeezed coalesce(1) file at scale
-      if (tombCount > 0) {
-        val parts = math.min(tombCount / 4000000L + 1L, 1024L).toInt
-        io.writeParquet(allTombs.coalesce(parts),
-          s"${io.versionDir(batchId)}/tombstones")
-      }
-      allTombs.unpersist()
-      newTombRows.unpersist()
+      // purged segment row is still physically present). When the old
+      // set is empty AND nothing in the batch previously existed, both
+      // sources are empty by construction — skip the whole section's
+      // jobs (the steady-state pure-append batch pays zero tombstone
+      // work).
+      val tombCount =
+        if (old.tombstoneCount == 0 && nExisting == 0) 0L
+        else {
+          val revived = deltaIds
+            .join(old.tombstones.toDF().select($"docId"), Seq("docId"),
+              "left_semi")
+          val newTombRows = killed.select($"docId").union(revived).distinct()
+            .join(deltaIds.withColumn("isDelta", lit(1)), Seq("docId"), "left")
+            .select($"docId",
+              when($"isDelta".isNotNull, lit(batchId))
+                .otherwise(lit(PurgeSentinel)).as("before"))
+            .persist()
+          // O(batch) rows and a SUBSET of `affected` (killed ⊆ affected,
+          // revived ⊆ delta ids), so the already-known affectedCount is a
+          // safe size bound for the broadcast decision — no extra count
+          // job; over-estimating only trades a broadcast for a shuffle
+          // join on a backfill-scale batch, never a driver-squeezed
+          // broadcast
+          val keptOld = old.tombstones.toDF()
+            .join(maybeBroadcast(newTombRows.select($"docId"), affectedCount),
+              Seq("docId"), "left_anti")
+          val allTombs = keptOld.unionByName(newTombRows).persist()
+          val n = allTombs.count()
+          // partitioned tombstone files, sized by row count: one file
+          // while the set is small, ~4M rows per file past that — never
+          // a single driver-squeezed coalesce(1) file at scale
+          if (n > 0) {
+            val parts = math.min(n / 4000000L + 1L, 1024L).toInt
+            io.writeParquet(allTombs.coalesce(parts),
+              s"${io.versionDir(batchId)}/tombstones")
+          }
+          allTombs.unpersist()
+          newTombRows.unpersist()
+          n
+        }
 
       writeStats(spark, io, batchId,
         old.stats.n - killedN + deltaN,
         old.stats.sumDl - killedDl + deltaDl)
+      val deadAdd =
+        if (nExisting == 0) 0L else obsDead.get("deadAdd").asInstanceOf[Long]
+      // a pre-recording manifest seeds with the conservative per-term
+      // bound (tombstones × segments) rather than 0 — never undercount
+      val deadPostings =
+        io.readDeadPostings(old.version)
+          .getOrElse(old.tombstoneCount * old.segments.size) + deadAdd
       val segs = if (hasDelta) old.segments :+ batchId else old.segments
-      io.writeManifest(batchId, segs, tombCount, old.dictChain :+ batchId)
+      io.writeManifest(batchId, segs, tombCount, old.dictChain :+ batchId,
+        deadPostings = deadPostings)
     } finally { killed.unpersist(); affected.unpersist() }
   }
 

@@ -569,4 +569,42 @@ class PhraseSpec extends SparkTestBase {
     assert(!fs.exists(p(s"$root/posindex/base.trash")))
     assert(phrase() == want, "roll-back changed phrase answers")
   }
+
+  test("crashed swap heals on the NEXT SYNC, and interim batches keep " +
+      "staging pos deltas (no permanent coverage gap)") {
+    // the automatic path: a fold swap crashed between its two renames
+    // (base parked in base.trash, no base). The next ordinary sync batch
+    // must (a) still stage its positional delta — a batch synced while
+    // base is missing would otherwise become a coverage gap the healed
+    // base can never close — and (b) heal the swap during publish, so
+    // phrase queries recover with NO operator action and NO full
+    // index-pos rebuild.
+    val root = tmpDir("graft-posautoheal")
+    val io = new TableIO(spark, root)
+    val M = 120
+    def ts(i: Long) = new Timestamp(Corpus.warcTsMillis(i))
+    SyncJob.run(spark, io, spark.createDataset(Corpus.localRows(M)), ts(M))
+    Positional.build(spark, spark.createDataset(Corpus.localRows(M)),
+      s"$root/posindex", io.currentVersion())
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate the crash window: old base parked aside, nothing swapped in
+    fs.rename(p(s"$root/posindex/base"), p(s"$root/posindex/base.trash"))
+    // an ordinary incremental sync while the posindex is baseless
+    val all = Corpus.localRows(M + 30)
+    SyncJob.run(spark, io, spark.createDataset(all), ts(M + 30))
+    assert(fs.exists(p(s"$root/posindex/base")),
+      "sync publish did not heal the crashed swap")
+    assert(!fs.exists(p(s"$root/posindex/base.trash")))
+    val batchId = io.currentVersion().get
+    assert(fs.exists(p(s"$root/posindex/delta/$batchId")),
+      "interim batch did not stage its positional delta")
+    val got = Phrase.topKLive(spark, io, s"$root/posindex",
+      "document 3", 10, new IndexReader(spark, root))
+      .toSeq.map(h => (h.docId, h.score))
+    val want = oraclePhraseOver(all, "document 3", 10)
+      .map(h => (h.docId, h.score))
+    assert(got == want, "healed posindex gave wrong phrase answers")
+  }
 }

@@ -17,8 +17,18 @@ class PlanSpec extends SparkTestBase {
   lazy val root: String = {
     val r = tmpDir("graft-plan-idx")
     val io = new TableIO(spark, r)
-    SyncJob.run(spark, io, Corpus.pages(spark, 500, 4),
+    // pin a fine block-shuffle width for this fixture: the adaptive
+    // width would pack a 500-doc build into ONE index file, making the
+    // dict file-pointer pruning assertions vacuous (production corpora
+    // span many files; that is the shape under test)
+    val prev = sys.props.get("graft.blocks.tokensPerPartition")
+    sys.props("graft.blocks.tokensPerPartition") = "10000"
+    try SyncJob.run(spark, io, Corpus.pages(spark, 500, 4),
       new Timestamp(Corpus.warcTsMillis(500)))
+    finally prev match {
+      case Some(v) => sys.props("graft.blocks.tokensPerPartition") = v
+      case None => sys.props.remove("graft.blocks.tokensPerPartition")
+    }
     r
   }
 
