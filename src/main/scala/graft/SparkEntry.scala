@@ -603,17 +603,27 @@ object SparkEntry {
     val cand = minhashCandidates(s, dir)
     // only docs that appear in a candidate PAIR need tokenizing: the
     // verifier's exact-Jaccard cost is O(candidate docs), not O(corpus)
-    // — the scale property that makes LSH-then-verify viable at 100 TB
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    // — the scale property that makes LSH-then-verify viable at 100 TB.
+    // Below the cap the whole corpus is smaller than a single bucket's
+    // budget, and the pruning machinery (candDocs union+distinct + two
+    // semi-join builds) costs more stages than tokenizing every doc —
+    // the downstream d1/d2 joins restrict to candidate docs either way,
+    // so results are identical.
+    val docsRows = parquetRows(s, s"$dir/documents.parquet")
+    val tkSource =
+      if (docsRows <= lshMaxBucket) t(s, dir, "documents")
+      else {
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+        t(s, dir, "documents").join(candDocs, Seq("doc_id"), "left_semi")
+      }
     // distinct-token ARRAY per candidate doc: the exact-Jaccard check is
     // one codegen'd array_intersect per pair instead of shuffling
     // exploded term rows through distinct + groupBy + a two-key join
     // (identical semantics — split(' ') keeps empty tokens in both
     // forms, array_intersect de-duplicates — the DuckDB oracle keeps
     // the explicit exploded-CTE form; only results must match)
-    val tk = t(s, dir, "documents")
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    val tk = tkSource
       .select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("terms"))
     // candidates are ≪ corpus by design, but a near-dup-heavy crawl can

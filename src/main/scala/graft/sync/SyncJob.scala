@@ -114,13 +114,22 @@ object SyncJob {
       // (adaptive — measured during a flat write, rewritten bucketed only
       // when large; a 256-dir write costs seconds regardless of rows)
       timed(batchId, "analyze.writeFwd") {
-        val analyzedDf = SegmentBuilder.analyze(delta).toDF()
         fwdBits match {
-          case Some(b) => Tables.writeFwd(analyzedDf, analyzedDir, b)
+          case Some(b) =>
+            Tables.writeFwd(SegmentBuilder.analyze(delta).toDF(),
+              analyzedDir, b)
           case None if lo == Epoch0 && !fwdAdaptive =>
-            Tables.writeFwd(analyzedDf, analyzedDir)
+            // corpus-scale initial build: dedup + bucket clustering in
+            // ONE exchange (fb is a function of url) — see
+            // writeFwdFusedInitial; narrow widths keep the plain shape
+            // (a 1-partition fused shuffle would serialize the analyze)
+            if (Tables.fwdBucketBits >= 4)
+              Tables.writeFwdFusedInitial(pages.filter(pred), analyzedDir)
+            else Tables.writeFwd(SegmentBuilder.analyze(delta).toDF(),
+              analyzedDir)
           case None =>
-            Tables.writeFwdAdaptive(spark, analyzedDf, analyzedDir)
+            Tables.writeFwdAdaptive(spark,
+              SegmentBuilder.analyze(delta).toDF(), analyzedDir)
         }
       }
       stagePosDelta(spark, io, batchId, delta)

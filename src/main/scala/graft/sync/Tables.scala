@@ -190,6 +190,52 @@ object Tables {
     writeFwdBits(analyzed.sparkSession, path, math.max(bits, 0))
   }
 
+  /** INITIAL-build fwd write that FUSES the in-batch last-write-wins
+    * dedup with the bucket clustering into ONE exchange. The former
+    * shape shuffled the batch twice: latestPerUrl's window moved the
+    * raw pages (html + text) hashed by url, then writeFwd moved the
+    * analyzed rows (the heavy tfs maps) again hashed by fb. But
+    * fb = top-bits(xxhash64(url)) is a FUNCTION of url, so one exchange
+    * keyed by fb colocates every url's rows; the dedup window re-keys
+    * on (fb, url), which hash-partitioning by fb already satisfies
+    * (ClusteredDistribution subset rule) — Spark inserts only the
+    * within-partition sort, no second exchange — and the bucketed write
+    * follows in place. Same winners as latestPerUrl (identical order
+    * keys), same fwd layout and recorded width; PlanSpec asserts the
+    * single-exchange shape, OpsSpec/LsmSpec gate the behavior.
+    */
+  def writeFwdFusedInitial(pages: Dataset[graft.PageRow], path: String,
+                           bits: Int = fwdBucketBits): Unit = {
+    val analyzed = fusedInitialFrame(pages, bits)
+    analyzed.write.mode("overwrite").partitionBy("fb").parquet(path)
+    writeFwdBits(pages.sparkSession, path, bits)
+  }
+
+  /** The fused dedup+cluster+analyze frame (PlanSpec asserts its
+    * single-exchange shape).
+    */
+  private[graft] def fusedInitialFrame(pages: Dataset[graft.PageRow],
+                                       bits: Int): DataFrame = {
+    require(bits > 0, "fused initial write requires a bucketed width")
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fb", $"url")
+      .orderBy($"warc_ts".desc, xxhash64($"html").desc)
+    val deduped = pages.toDF()
+      .withColumn("fb", expr(
+        s"cast(shiftrightunsigned(xxhash64(url), ${64 - bits}) as int)"))
+      .repartition($"fb")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+    SegmentBuilder.analyze(deduped.drop("fb").as[graft.PageRow]).toDF()
+      // recomputed from docId — a deterministic projection, no exchange;
+      // rows physically stay in their fb's task so partitionBy writes
+      // one file per bucket
+      .withColumn("fb", fbExpr(bits))
+  }
+
   /** Write a DELTA fwd dir with the width adapted to its (unknown) row
     * count: one flat pass with an Observation row count (zero extra
     * jobs), then a bucketed rewrite — read from the just-written parquet,

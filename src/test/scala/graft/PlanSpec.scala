@@ -80,6 +80,26 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Sort ["), s"expected within-partition sort:\n$plan")
   }
 
+  test("fused initial fwd: dedup + bucket clustering in ONE exchange") {
+    // fb = f(url), so the last-write-wins window keyed (fb, url) runs on
+    // the fb exchange's partitioning — a second exchange here would mean
+    // the initial build went back to shuffling the corpus twice
+    val frame = graft.sync.Tables.fusedInitialFrame(
+      Corpus.pages(spark, 300, 4), bits = 4)
+    val plan = executedPlan(frame)
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"expected the dedup window:\n$plan")
+    // and the fused winners equal latestPerUrl's (same order keys)
+    val viaWindow = graft.sync.SyncJob
+      .latestPerUrl(Corpus.pages(spark, 300, 4))
+      .select($"url", $"warc_ts").as[(String, java.sql.Timestamp)]
+      .collect().toSet
+    val viaFused = frame.select($"url", $"warc_ts")
+      .as[(String, java.sql.Timestamp)].collect().toSet
+    assert(viaFused == viaWindow, "fused dedup picked different winners")
+  }
+
   test("posting explode stays inside whole-stage codegen") {
     val analyzed = SegmentBuilder.analyze(Corpus.pages(spark, 100, 2)).toDF()
     val postings = SegmentBuilder.toPostings(analyzed)
