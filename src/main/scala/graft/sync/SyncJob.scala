@@ -392,38 +392,43 @@ object SyncJob {
     // ---- segment -----------------------------------------------------
     if (!cp.isDone(batchId, process, resource, "segment")) timed(batchId, "segment") {
       val analyzed = Tables.readFwdDir(spark, analyzedDir)
-      // the docs write and the collision aggregation are independent
-      // column-pruned reads of the staged fwd (neither touches the heavy
-      // tfs column), so the docs write runs on a second driver thread and
-      // backfills executors the collision agg's tail leaves idle (guide
-      // §2.6 overlap); the block build waits for the collision count,
-      // which sizes its shuffle. The collision check (with the delta row
-      // count + doclen sum piggybacked, stashed FS-side for publish —
-      // the staged dirs may be renamed away by the merge stage) reads
-      // the staged fwd directly: same rows as the written docs table.
+      // the docs write, the collision aggregation, and the block build
+      // are three independent reads of the staged fwd, so all three run
+      // concurrently (guide §2.6: later jobs backfill executors an
+      // earlier job's tail leaves idle). The block shuffle is sized from
+      // the staged dir's FS byte size — known before any job runs — so
+      // it no longer waits on the collision count. The collision check
+      // (with the delta row count + doclen sum piggybacked, stashed
+      // FS-side for publish — the staged dirs may be renamed away by the
+      // merge stage) reads the staged fwd directly: same rows as the
+      // written docs table. A collision still fails the stage before
+      // markDone (the staged blocks are discarded with the staging dir).
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       val fDocs = Future { timed(batchId, "segment.docs") {
         io.writeParquet(SegmentBuilder.toDocs(analyzed, batchId).toDF(), docsDir)
       } }
-      try {
-        val (n, dlSum) = timed(batchId, "segment.collisions") {
-          SegmentBuilder.checkCollisions(analyzed) }
+      val fColl = Future { timed(batchId, "segment.collisions") {
+        val (n, dlSum) = SegmentBuilder.checkCollisions(analyzed)
         io.writeSmallFile(s"${io.root}/staging/$batchId/delta_rows", n.toString)
         // doclen sum rides along for the merge stage's O(delta) stats
         // arithmetic (saves its deltaStats job; merge falls back to the
         // aggregation if the file is missing, e.g. staging from an older
         // build)
         io.writeSmallFile(s"${io.root}/staging/$batchId/delta_dl", dlSum.toString)
-        timed(batchId, "segment.blocks") {
-          val blocks = SegmentBuilder.buildBlocks(
-            SegmentBuilder.toPostings(analyzed), batchId,
-            Tables.blockPartitions(spark, dlSum))
-          io.writeParquet(blocks.toDF(), blocksDir)
-        }
-      } finally Await.ready(fDocs, Duration.Inf)
-      Await.result(fDocs, Duration.Inf) // propagate a docs-write failure
+      } }
+      try timed(batchId, "segment.blocks") {
+        val blocks = SegmentBuilder.buildBlocks(
+          SegmentBuilder.toPostings(analyzed), batchId,
+          Tables.blockPartitions(spark, io.dirBytes(analyzedDir)))
+        io.writeParquet(blocks.toDF(), blocksDir)
+      } finally {
+        Await.ready(fDocs, Duration.Inf)
+        Await.ready(fColl, Duration.Inf)
+      }
+      Await.result(fDocs, Duration.Inf) // propagate concurrent failures
+      Await.result(fColl, Duration.Inf)
       cp.markDone(batchId, process, resource, "segment")
     }
 

@@ -137,20 +137,23 @@ object Tables {
   private[graft] val BlockSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[IndexBlock].schema
 
-  /** Shuffle width for a delta's posting build, derived from its token
-    * count: ~250k postings (a few MB) per partition, clamped to
-    * [1, configured width]. A 500-doc ephemeral or steady-state delta
-    * batch no longer pays a full confed-width shuffle + one output file
-    * per task, while corpus-scale builds clamp to the session width —
-    * the scale forks' plans are unchanged (480k-640k-doc builds hit the
-    * clamp), so N-vs-4N comparability is preserved.
+  /** Shuffle width for a delta's posting build, derived from the staged
+    * fwd dir's BYTE size (driver-side FS metadata — free and available
+    * before any aggregation runs, so the collision check and the block
+    * build can run concurrently): one partition per ~512 KB of staged
+    * fwd, clamped to [1, configured width]. A 500-doc ephemeral or
+    * steady-state delta batch no longer pays a full conf-width shuffle +
+    * one output file per task, while corpus-scale builds clamp to the
+    * session width — the scale forks' plans are unchanged (480k-640k-doc
+    * builds' fwd is ≫ width·512 KB), so N-vs-4N comparability holds.
     */
-  def blockPartitions(spark: SparkSession, dlSum: Long): Int = {
-    val target = sys.props.get("graft.blocks.tokensPerPartition")
-      .orElse(sys.env.get("GRAFT_BLOCKS_TOKENS_PER_PARTITION"))
-      .map(_.toLong).getOrElse(250000L)
+  def blockPartitions(spark: SparkSession, stagedFwdBytes: Long): Int = {
+    val target = sys.props.get("graft.blocks.bytesPerPartition")
+      .orElse(sys.env.get("GRAFT_BLOCKS_BYTES_PER_PARTITION"))
+      .map(_.toLong).getOrElse(512 * 1024L)
     val conf = spark.sessionState.conf.numShufflePartitions
-    math.min(conf.toLong, math.max(1L, (dlSum + target - 1L) / target)).toInt
+    math.min(conf.toLong,
+      math.max(1L, (stagedFwdBytes + target - 1L) / target)).toInt
   }
 
   /** Marker file recording a fwd dir's bucket width (0 = flat layout). */

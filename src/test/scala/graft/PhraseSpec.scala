@@ -162,14 +162,12 @@ class PhraseSpec extends SparkTestBase {
     }
   }
 
-  test("stopword phrase: compressed working set is one bucket slice") {
-    // the group task materializes its (source, bucket)'s term-filtered
-    // COMPRESSED blocks — the intersection's irreducible working set.
-    // The scale contract: that set is O(terms' bytes / 2^bucketBits),
-    // so widening buckets (the per-index knob) shrinks every task's
-    // residency. 16 buckets → each task may hold ~1/16 of the phrase
-    // terms' compressed bytes (2× skew headroom), and never anything
-    // from other terms or the index at large.
+  test("stopword phrase: compressed working set is O(terms x block)") {
+    // the demultiplexed doc-major stream holds at most one pending +
+    // one in-flight compressed block per phrase term — NOT the bucket
+    // slice the r5 shape materialized (bs.map(_.block).toArray), whose
+    // residency scaled 1/2^bucketBits with the index. The bound is now
+    // independent of bucket width and corpus size.
     val prev = sys.props.get("graft.docid.bucketBits")
     sys.props("graft.docid.bucketBits") = "4"
     DocIds.refreshBucketBits()
@@ -196,10 +194,16 @@ class PhraseSpec extends SparkTestBase {
       val want = oraclePhraseOver(rows, "of the", 10).map(h => (h.docId, h.score))
       assert(got == want, "stopword phrase diverged at bucketBits=4")
       val res = Phrase.maxResidentCompressedBytes.get()
+      val maxBlock = all.iterator
+        .filter(b => b.term == "of" || b.term == "the").map(sz).max
       assert(res > 0)
+      // 2 distinct terms x (1 pending + 1 in flight) with 2x headroom
+      assert(res <= 8 * maxBlock,
+        s"one task held $res compressed bytes vs largest block $maxBlock " +
+          "— the demux is buffering more than O(terms x block)")
       assert(res <= termBytes / 8,
         s"one task held $res compressed bytes of the terms' $termBytes — " +
-          "not a 1/2^bits bucket slice")
+          "worse than even the old 1/2^bits bucket slice")
       assert(res < indexBytes / 20,
         s"one task held $res of the index's $indexBytes compressed bytes")
     } finally {

@@ -21,13 +21,13 @@ class PlanSpec extends SparkTestBase {
     // width would pack a 500-doc build into ONE index file, making the
     // dict file-pointer pruning assertions vacuous (production corpora
     // span many files; that is the shape under test)
-    val prev = sys.props.get("graft.blocks.tokensPerPartition")
-    sys.props("graft.blocks.tokensPerPartition") = "10000"
+    val prev = sys.props.get("graft.blocks.bytesPerPartition")
+    sys.props("graft.blocks.bytesPerPartition") = "8192"
     try SyncJob.run(spark, io, Corpus.pages(spark, 500, 4),
       new Timestamp(Corpus.warcTsMillis(500)))
     finally prev match {
-      case Some(v) => sys.props("graft.blocks.tokensPerPartition") = v
-      case None => sys.props.remove("graft.blocks.tokensPerPartition")
+      case Some(v) => sys.props("graft.blocks.bytesPerPartition") = v
+      case None => sys.props.remove("graft.blocks.bytesPerPartition")
     }
     r
   }

@@ -25,14 +25,15 @@ class CursorLeakSpec extends graft.SparkTestBase {
     }
     val blocks =
       Positional.buildBlocks(spark.createDataset(postings), 1).collect()
-    val byTerm = blocks.groupBy(_.term)
-    assert(byTerm("alpha").length == 3 && byTerm("beta").length == 3)
+    assert(blocks.count(_.term == "alpha") == 3 &&
+      blocks.count(_.term == "beta") == 3)
+    // the streaming intersection consumes a doc-major sorted stream
+    val sorted = blocks.sortBy(b => (b.firstDocId, b.term, b.blockId))
     Phrase.resetResidentTracking()
-    val bc = spark.sparkContext.broadcast(byTerm)
+    val bc = spark.sparkContext.broadcast(sorted)
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
-      Phrase.matchesInBucket(
-        Seq("alpha" -> bc.value("alpha"), "beta" -> bc.value("beta")),
-        Seq("alpha", "beta"))
+      Phrase.matchesInBucketStreaming(bc.value.iterator,
+        Seq("alpha", "beta"), "alpha")
     }
     // take(1) consumes ONE match and completes the task with the
     // iterator unexhausted — the abandonment scenario
