@@ -20,7 +20,8 @@ case class IndexTables(
     dict: Dataset[DictRow],
     stats: CorpusStats,
     dictChain: Seq[String] = Seq.empty,
-    bucketBits: Int = DocIds.bucketBits)
+    bucketBits: Int = DocIds.bucketBits,
+    tombChain: Seq[String] = Seq.empty)
 
 /** docs + index plans of a merge, before dict/stats derivation (those are
   * computed from the *written* parquet so the encode shuffle never runs

@@ -131,7 +131,8 @@ class IndexReader(spark: SparkSession, root: String) {
     tombstoneCount > graft.sync.Tables.deadBroadcastMax
 
   private def tombstonesDf =
-    io.readParquet(s"${io.versionDir(version)}/tombstones")
+    graft.sync.Tables.tombstonesView(spark, io, version,
+      io.readTombChain(version), tombstoneCount).toDF()
 
   /** Tombstones, collected once per reader when small enough to
     * broadcast; empty (with [[deadDistributed]] set) otherwise —

@@ -249,9 +249,7 @@ object SyncJob {
         .parquet(segs.map(s => s"${io.segmentDir(s)}/docs"): _*)
         .as[graft.DocRow]
       val live = Tables.liveDocs(docs,
-        if (tombCount == 0) spark.emptyDataset[graft.Tombstone]
-        else io.readParquet(s"${io.versionDir(v)}/tombstones")
-          .as[graft.Tombstone],
+        Tables.tombstonesView(spark, io, v, io.readTombChain(v), tombCount),
         tombCount)
       live.agg(max($"warc_ts")).head()
     }.flatMap(r => Option(r.getTimestamp(0))).getOrElse(Epoch0)

@@ -82,6 +82,55 @@ class LsmSpec extends SparkTestBase {
     assert(got == oracle.topK("document", 10).map(h => (h.docId, h.score)).toSeq)
   }
 
+  test("tombstone chain: appends write O(batch) tombstone bytes, " +
+      "precedence folds across links") {
+    val root = tmpDir("graft-tombchain")
+    val io = new TableIO(spark, root)
+    val N = 2000L
+    val rows = Corpus.localRows(N.toInt)
+    SyncJob.run(spark, io, spark.createDataset(rows), ts(N))
+
+    // purge the urls ending in 7 → first chain link (200 rows)
+    val keep = rows.filterNot(_.url.endsWith("7"))
+    PurgeJob.run(spark, io, spark.createDataset(keep), ts(3 * N))
+    val purgeBatch = io.currentVersion().get
+    assert(io.readTombChain(purgeBatch) == Seq(purgeBatch))
+    val link1Rows = spark.read.parquet(io.tombsDir(purgeBatch)).count()
+    assert(link1Rows == 200)
+
+    // a 10-doc update batch (urls 0..9; doc/7 is a REVIVE across links):
+    // the new chain link holds exactly this batch's rows — the folded
+    // set is never rewritten (the former layout wrote all 200+ rows
+    // again per batch; at the absolute cap that is O(10M) per append)
+    val upd = rows.take(10).map(p =>
+      p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(10 * N))))
+    SyncJob.run(spark, io, spark.createDataset(upd), ts(10 * N + 1))
+    val updBatch = io.currentVersion().get
+    assert(io.readTombChain(updBatch) == Seq(purgeBatch, updBatch))
+    val link2 = spark.read.parquet(io.tombsDir(updBatch))
+    assert(link2.count() == 10, "chain link is not O(batch)")
+    assert(!io.exists(s"${io.versionDir(updBatch)}/tombstones"),
+      "append still wrote a full tombstone set into the version dir")
+    // folded count: 200 old + 10 new − 1 overlap (doc/7 revived)
+    assert(io.readManifest(updBatch)._2 == 209)
+
+    // answers: doc/7 is live again (its newer link row overrides the
+    // purge sentinel), the other ending-in-7 docs stay dead
+    val finalRows = rows.map(p =>
+      if (upd.exists(_.url == p.url))
+        p.copy(warc_ts = new Timestamp(Corpus.warcTsMillis(10 * N))) else p)
+      .filter(p => !p.url.endsWith("7") || p.url == Corpus.url(7L))
+    val oracle = new NaiveIndex(finalRows)
+    val reader = new IndexReader(spark, root)
+    assert(reader.stats.n == oracle.n)
+    assert(reader.stats.avgdl == oracle.avgdl)
+    val got = reader.topK("document", 15).map(h => (h.docId, h.score)).toSeq
+    assert(got == oracle.topK("document", 15).map(h => (h.docId, h.score)).toSeq)
+    val doc7 = graft.index.DocIds.docId(Corpus.url(7L))
+    assert(reader.docs.filter($"docId" === doc7).count() == 1,
+      "revive row did not override the purge sentinel across links")
+  }
+
   test("re-add after purge resurrects the doc (tombstone override)") {
     val root = tmpDir("graft-readd")
     val io = new TableIO(spark, root)
