@@ -531,6 +531,22 @@ object SparkEntry {
     minhashCandCache.clear()
     simhashCache.values.forEach(df => { df.unpersist(); () })
     simhashCache.clear()
+    adHocPersists.forEach(df => { df.unpersist(); () })
+    adHocPersists.clear()
+  }
+
+  /** Per-query persisted frames from the large-corpus branches (candidate
+    * pair sets sized for a broadcast decision) — registered here so
+    * [[clearQueryCaches]] releases them; Spark's storage eviction handles
+    * pressure in between.
+    */
+  private val adHocPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistForQuery(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    adHocPersists.add(p)
+    p
   }
 
   /** 64-bit SimHash (md5-bit hyperplanes, tf-weighted ±1 votes per
@@ -580,9 +596,20 @@ object SparkEntry {
       struct(lit(3).as("bi"), expr("simhash_hi div 65536").as("bv"))))
         .as("bd"))
       .select(col("doc_id"), col("bd.bi").as("bi"), col("bd.bv").as("bv"))
-    val cand = bucketPairs(bands, Seq("bi", "bv"), "doc_id",
-        parquetRows(s, s"$dir/documents.parquet"), "d1", "d2")
+    val docsRows = parquetRows(s, s"$dir/documents.parquet")
+    val cand0 = bucketPairs(bands, Seq("bi", "bv"), "doc_id",
+        docsRows, "d1", "d2")
       .distinct()
+    // at corpus scale the candidate pairs are the small side of the
+    // verify joins (sh is O(corpus)): count once, size-adapt — same
+    // treatment as the jaccard/embedding verifiers; below the cap the
+    // cached sh frame is tiny and the planner handles it
+    val cand =
+      if (docsRows <= lshMaxBucket) cand0
+      else {
+        val c = persistForQuery(cand0)
+        graft.sync.Tables.maybeBroadcast(c, c.count())
+      }
     cand
       .join(sh.select(col("doc_id").as("d1"), col("simhash_hi").as("h1"),
         col("simhash_lo").as("l1")), Seq("d1"))
@@ -757,9 +784,22 @@ object SparkEntry {
         struct(lit(1).as("tbl"), lsh_bits(col("embedding"), 16, 16).as("bkt"))))
         .as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val pairs = bucketPairs(tables, Seq("tbl", "bkt"), "vec_id",
-        parquetRows(s, s"$dir/embeddings.parquet"), "v1", "v2")
+    val vecRows = parquetRows(s, s"$dir/embeddings.parquet")
+    val pairs0 = bucketPairs(tables, Seq("tbl", "bkt"), "vec_id",
+        vecRows, "v1", "v2")
       .distinct()
+    // re-attaching vectors: below the cap the planner auto-broadcasts
+    // the (tiny) embeddings table; at corpus scale the CANDIDATE PAIRS
+    // are the small side by design — count them once (a cheap job on a
+    // persisted frame, amortized over both joins; planner estimates
+    // through aggregations are blind) and size-adapt, so the vectors are
+    // never shuffled on a key the pruning already decided
+    val pairs =
+      if (vecRows <= lshMaxBucket) pairs0
+      else {
+        val p = persistForQuery(pairs0)
+        graft.sync.Tables.maybeBroadcast(p, p.count())
+      }
     pairs
       .join(e.toDF("v1", "e1"), Seq("v1"))
       .join(e.toDF("v2", "e2"), Seq("v2"))

@@ -91,6 +91,49 @@ class LshPairsSpec extends SparkTestBase {
     }
   }
 
+  test("large-corpus verify joins: size-adapted path gives identical results") {
+    // above the cap the simhash/embedding verifiers count + broadcast
+    // the candidate pairs instead of trusting planner estimates; the
+    // branch must be invisible in the results
+    val dir = tmpDir("graft-lshbig")
+    val docs = (0L until 90L).map { i =>
+      val text =
+        if (i % 3 == 0) "shared template body for near duplicate detection"
+        else s"document $i with body ${graft.corpus.Corpus.mix(i)}"
+      (i, text, "en", text.length)
+    }
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(j =>
+        (java.lang.Math.floorMod(graft.corpus.Corpus.mix(i / 3 * 64 + j), 200L)
+          - 100L) / 100.0f))
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def runQ(n: String): Seq[org.apache.spark.sql.Row] = {
+      SparkEntry.clearQueryCaches()
+      SparkEntry.queries(n)(spark, dir).collect().toSeq
+    }
+    val sh1 = runQ("q_simhash_near")
+    val em1 = runQ("q_dedup_embed")
+    val prev = sys.props.get("graft.lsh.maxBucket")
+    sys.props("graft.lsh.maxBucket") = "16" // 90 docs / 60 vecs > cap
+    try {
+      assert(runQ("q_simhash_near") == sh1,
+        "size-adapted simhash verify changed results")
+      assert(runQ("q_dedup_embed") == em1,
+        "size-adapted embedding verify changed results")
+      assert(em1.nonEmpty && sh1.nonEmpty, "fixture produced no pairs")
+    } finally {
+      SparkEntry.clearQueryCaches()
+      prev match {
+        case Some(v) => sys.props("graft.lsh.maxBucket") = v
+        case None => sys.props.remove("graft.lsh.maxBucket")
+      }
+    }
+  }
+
   test("degenerate corpus end-to-end: q_dedup_minhash identical on both paths") {
     // thousands of near-identical template docs collapse into the same
     // band buckets — the production LSH failure mode. The query's answer
